@@ -1,0 +1,77 @@
+"""Render configuration.
+
+The reference has no config system — every knob is a compile-time constant
+or a GLUT key binding (``src/main.cpp:85-150``: samples +/- , ``p`` toggles
+path tracing, ``f``/``g`` focal; 5-bounce cap hardcoded three times at
+``src/cpu_renderer.cpp:33``, ``src/render.cl:181``, ``src/render.comp:166``;
+epsilon at ``src/geom.h:198``). Here all of those become one frozen
+dataclass that is hashable, so it can be passed as a static argument to
+``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+
+# Constants shared with the reference implementation.
+# EPSILON: src/geom.h:198; MAX_VALUE_DIST: src/cpu_renderer.cpp:27,
+# src/render.comp:58. Both are float32 in the reference (real = float,
+# src/geom.h:24).
+EPSILON = 1e-14
+MAX_DIST = 1e12
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static knobs of a render. Hashable → usable as a jit static arg.
+
+    Attributes:
+      width, height: output resolution (ref default 640×480,
+        ``src/main.cpp:238-239``).
+      spp: samples per pixel (ref default 128, ``src/main.cpp:44``).
+      max_bounces: path length cap (ref hard 5, ``src/cpu_renderer.cpp:33``).
+      rng: "lcg" reproduces the reference per-pixel LCG stream
+        (seed = pixel id, ``src/render.cl:233``, ``src/render.comp:219``;
+        formula ``src/frand.h:53-63``); "threefry" uses counter-based
+        ``jax.random`` keys (the quality mode).
+      sampler: "angle" is the reference's angle-uniform hemisphere sampler
+        (``src/geom.h:164-177`` — NOT cosine weighted; paired with the
+        reference's p = 1/(2π) it is a *biased* estimator, reproduced
+        deliberately for conformance); "cosine" is the variance-optimal
+        cosine-weighted mode (quality); "uniform" is solid-angle-uniform
+        (unbiased, higher variance — cross-checks "cosine").
+      intersect: implementation of the brute-force rays×triangles nearest
+        hit. "reference" = straight Möller–Trumbore in XLA; "pluecker" =
+        the MXU matmul formulation; "pallas" = the tiled Pallas TPU kernel.
+      tri_block: triangle chunk size for the blocked/streamed intersection
+        paths (keeps (rays × tri_block) intermediates bounded for large
+        scenes).
+      ray_tile: rays processed per Pallas grid step.
+    """
+
+    width: int = 640
+    height: int = 480
+    spp: int = 128
+    max_bounces: int = 5
+    rng: Literal["lcg", "threefry"] = "lcg"
+    sampler: Literal["angle", "cosine", "uniform"] = "angle"
+    intersect: Literal["reference", "pluecker", "pallas"] = "reference"
+    tri_block: int = 512
+    ray_tile: int = 2048
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+#: Conformance config: matches the stable machine-independent reference
+#: semantics (GPU kernels' seed-by-pixel LCG + angle-uniform sampler).
+CONFORMANCE = RenderConfig(rng="lcg", sampler="angle", intersect="reference")
+
+#: Quality config: threefry RNG + cosine-weighted sampling + fast kernels.
+QUALITY = RenderConfig(rng="threefry", sampler="cosine", intersect="pluecker")

@@ -1,0 +1,179 @@
+"""Wavefront Monte-Carlo path tracer — the flagship forward model.
+
+TPU-native re-design of the reference's 5-bounce Lambertian path tracer.
+Where the CPU backend recurses per pixel (``src/cpu_renderer.cpp:30-68``)
+and the Vulkan kernel walks forward storing per-bounce stacks then
+accumulates backward (``src/render.comp:160-215``), this implementation
+keeps the whole ray *wavefront* (every pixel) in flight simultaneously
+and uses the mathematically equivalent **forward throughput** form::
+
+    L       = Σ_b  throughput_b · emittance[hit_b]
+    thru_0  = 1
+    thru_b+1= thru_b · albedo[hit_b] · w_b
+
+with ``w_b = BRDF_scale·cosθ/p = 2·cosθ`` for the reference's
+angle-uniform sampler (``src/cpu_renderer.cpp:60-67``) or ``w_b = 1`` for
+the cosine-weighted quality sampler (pdf cancels). The bounce loop is a
+statically-unrolled masked scan — no data-dependent control flow, so XLA
+compiles one straight-line program; dead rays are masked lanes, not
+branches.
+
+Sample loop: ``lax.scan`` carrying (rng_state, accumulator) so the
+per-sample radiance is reduced in-register rather than materialized as a
+``(spp, N, 3)`` buffer.
+
+Conformance: with ``cfg.rng='lcg'`` + ``cfg.sampler='angle'`` the RNG
+stream advances exactly like the reference's per-pixel-seeded kernels
+(2 draws per hit, none on miss — ``src/render.comp:173-197``), so images
+match the oracle to float tolerance.
+
+Differentiability (detached sampling): sampled directions and hit
+indices are ``stop_gradient``-ed; gradients flow through hit distances
+(→ hit points → downstream intersections), shading normals, cosθ,
+albedo, emission, and camera ray origins/directions. This makes
+``jax.grad`` of a loss over the image w.r.t. ``Scene`` and ``Camera``
+well-defined and finite-difference-checkable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from spath_tpu.camera import Camera, generate_rays
+from spath_tpu.config import RenderConfig
+from spath_tpu.ops.intersect import nearest_hit
+from spath_tpu.ops.rng import lcg_next, pixel_seeds
+from spath_tpu.ops.sampling import hemisphere_sample
+from spath_tpu.scene import Scene
+
+
+def _bounce_uniforms(cfg, rng_state, hit, bounce, sample_idx, n):
+    """Draw the two per-ray uniforms for a bounce and advance the RNG.
+
+    LCG mode: state is the per-pixel uint32 seed; it advances twice but
+    ONLY where the ray actually hit (reference semantics — the sampler is
+    only reached after a hit, ``src/cpu_renderer.cpp:51-58``).
+    Threefry mode: state is a key; per-bounce subkeys are folded in, no
+    masking needed (streams are counter-based, not sequential).
+    """
+    if cfg.rng == "lcg":
+        s1, u1 = lcg_next(rng_state)
+        s2, u2 = lcg_next(s1)
+        new_state = jnp.where(hit, s2, rng_state)
+        return new_state, u1, u2
+    k = jax.random.fold_in(rng_state, bounce)
+    u = jax.random.uniform(k, (2, n), jnp.float32)
+    return rng_state, u[0], u[1]
+
+
+def trace_radiance(
+    scene: Scene,
+    origins: jax.Array,
+    directions: jax.Array,
+    cfg: RenderConfig,
+    rng_state,
+    sample_idx=0,
+):
+    """Trace ONE sample per ray. Returns ``(radiance (N,3), rng_state)``."""
+    n = origins.shape[0]
+    v0, v1, v2 = scene.v0, scene.v1, scene.v2
+    normals = scene.normals()
+
+    o, d = origins, directions
+    throughput = jnp.ones((n, 3), jnp.float32)
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    alive = jnp.ones(n, bool)
+    src = jnp.full(n, -1, jnp.int32)
+
+    for bounce in range(cfg.max_bounces):
+        dist, idx = nearest_hit(o, d, v0, v1, v2, src, cfg)
+        hit = alive & (idx >= 0)
+        safe = jnp.maximum(idx, 0)
+
+        nrm = normals[safe]
+        flip = jnp.sum(nrm * d, axis=-1) > 0.0   # src/cpu_renderer.cpp:56
+        adj_n = jnp.where(flip[:, None], -nrm, nrm)
+
+        rng_state, u1, u2 = _bounce_uniforms(
+            cfg, rng_state, hit, bounce, sample_idx, n
+        )
+        next_d, weight = hemisphere_sample(cfg.sampler, adj_n, u1, u2)
+        # Detached sampling: the direction is a constant of the backward
+        # pass; cosθ keeps its dependence on the (differentiable) normal.
+        next_d = lax.stop_gradient(next_d)
+        if cfg.sampler in ("angle", "uniform"):
+            # Recompute the 2·cosθ weight against the detached direction so
+            # gradients flow only through the (differentiable) normal.
+            cos_theta = jnp.sum(next_d * adj_n, axis=-1)
+            weight = jnp.float32(2.0) * cos_theta
+
+        hit3 = hit[:, None]
+        radiance = radiance + jnp.where(
+            hit3, throughput * scene.emission[safe], 0.0
+        )
+        throughput = jnp.where(
+            hit3, throughput * scene.albedo[safe] * weight[:, None], throughput
+        )
+
+        point = o + dist[:, None] * d            # src/geom.h:218
+        o = jnp.where(hit3, point, o)
+        d = jnp.where(hit3, next_d, d)
+        src = jnp.where(hit, idx, src)
+        alive = hit
+
+    return radiance, rng_state
+
+
+def render_radiance(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0
+) -> jax.Array:
+    """Average ``cfg.spp`` samples of radiance per pixel → ``(H, W, 3)``.
+
+    Unclamped HDR radiance (the inverse-rendering loss wants this);
+    ``render_pt`` applies the reference's clamp.
+    """
+    origins, directions = generate_rays(camera, cfg.width, cfg.height)
+    n = origins.shape[0]
+
+    if cfg.rng == "lcg":
+        # Per-pixel streams seeded by pixel index (src/render.cl:233).
+        state0 = pixel_seeds(n, 0) + jnp.uint32(seed)
+    else:
+        state0 = jax.random.key(seed) if not _is_key(seed) else seed
+
+    def sample_step(carry, s):
+        state, accum = carry
+        if cfg.rng == "threefry":
+            state_s = jax.random.fold_in(state, s)
+            rad, _ = trace_radiance(scene, origins, directions, cfg, state_s, s)
+            new_state = state
+        else:
+            rad, new_state = trace_radiance(
+                scene, origins, directions, cfg, state, s
+            )
+        return (new_state, accum + rad), None
+
+    init = (state0, jnp.zeros((n, 3), jnp.float32))
+    (_, accum), _ = lax.scan(sample_step, init, jnp.arange(cfg.spp))
+    mean = accum * (jnp.float32(1.0) / jnp.float32(cfg.spp))
+    return mean.reshape(cfg.height, cfg.width, 3)
+
+
+def _is_key(x) -> bool:
+    try:
+        return jnp.issubdtype(jnp.asarray(x).dtype, jax.dtypes.prng_key)
+    except TypeError:
+        return False
+
+
+def render_pt(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0):
+    """Full path-traced frame with the reference's final clamp
+    (``src/cpu_renderer.cpp:78``). Returns float32 ``(H, W, 3)`` in [0,1].
+    """
+    return jnp.clip(render_radiance(scene, camera, cfg, seed), 0.0, 1.0)
+
+
+render_pt_jit = jax.jit(render_pt, static_argnames=("cfg",))
+render_radiance_jit = jax.jit(render_radiance, static_argnames=("cfg",))

@@ -1,0 +1,70 @@
+"""Random number generation.
+
+Two modes:
+
+  * **lcg** — the reference's linear congruential generator, for bit-exact
+    conformance with its GPU kernels. Formula (``src/frand.h:59-62``,
+    duplicated at ``src/render.cl:150-153`` and ``src/render.comp:135-138``)::
+
+        seed = 214013 * seed + 2531011          (uint32 wraparound)
+        u    = ((seed >> 16) & 0x7FFF) / 32767.0
+
+    The reference seeds per-pixel streams with the pixel index
+    (``src/render.cl:233``, ``src/render.comp:219``) — that scheme is
+    scheduling-independent, unlike the CPU renderer's per-thread seeding
+    (``src/cpu_renderer.cpp:147``), so it is the conformance golden.
+    Unlike the reference's stateful functor, the JAX version threads the
+    seed explicitly: ``seed, u = lcg_next(seed)`` — stateless per stream,
+    so it vectorizes over millions of pixels.
+
+  * **threefry** — ``jax.random`` counter-based keys (quality mode): keyed
+    per (pixel, sample, bounce) via ``fold_in``, the TPU-native equivalent
+    of the ledger item "RNG becomes stateless counter-based threefry".
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MUL = jnp.uint32(214013)
+_ADD = jnp.uint32(2531011)
+_MASK = jnp.uint32(0x7FFF)
+_NORM = jnp.float32(1.0 / 32767.0)
+
+
+def lcg_next(seed: jax.Array):
+    """Advance the LCG. ``seed`` is uint32 of any shape.
+
+    Returns ``(new_seed, u)`` with ``u`` float32 in [0, 1].
+
+    The reference normalizes in double and later truncates to float32;
+    here ``float32(k) / 32767`` is a single float32 division, which differs
+    from the double-then-round path by at most 1 ulp — inside conformance
+    tolerance (the seed recurrence itself is exact uint32 arithmetic).
+    """
+    seed = _MUL * seed + _ADD
+    bits = (seed >> 16) & _MASK
+    return seed, bits.astype(jnp.float32) / jnp.float32(32767.0)
+
+
+def lcg_uniform(seed: jax.Array, n: int):
+    """Draw ``n`` sequential uniforms from each stream.
+
+    Returns ``(new_seed, us)`` where ``us`` has shape ``(n, *seed.shape)``.
+    """
+    us = []
+    for _ in range(n):
+        seed, u = lcg_next(seed)
+        us.append(u)
+    return seed, jnp.stack(us)
+
+
+def pixel_seeds(n_pixels: int, offset: int = 0) -> jax.Array:
+    """Per-pixel LCG seeds = pixel index (``src/render.cl:233``)."""
+    return (jnp.arange(n_pixels, dtype=jnp.uint32) + jnp.uint32(offset))
+
+
+def threefry_uniform(key: jax.Array, shape, lo=0.0, hi=1.0):
+    """Quality-mode uniforms from a threefry key."""
+    return jax.random.uniform(key, shape, jnp.float32, lo, hi)
