@@ -156,7 +156,20 @@ def render_radiance(
         return (new_state, accum + rad), None
 
     init = (state0, jnp.zeros((n, 3), jnp.float32))
-    (_, accum), _ = lax.scan(sample_step, init, jnp.arange(cfg.spp))
+    if cfg.spp <= 8:
+        # Statically unroll small sample counts. Besides avoiding scan
+        # overhead, this keeps the compiled forward and the autodiff
+        # linearization numerically identical: XLA compiles a scan body
+        # and its linearized replay with slightly different trig
+        # roundings, which can flip a grazing path and make
+        # finite-difference checks disagree with jax.grad even though
+        # both are "correct" for their own compilation.
+        carry = init
+        for s in range(cfg.spp):
+            carry, _ = sample_step(carry, s)
+        accum = carry[1]
+    else:
+        (_, accum), _ = lax.scan(sample_step, init, jnp.arange(cfg.spp))
     mean = accum * (jnp.float32(1.0) / jnp.float32(cfg.spp))
     return mean.reshape(cfg.height, cfg.width, 3)
 
