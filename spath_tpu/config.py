@@ -45,6 +45,12 @@ class RenderConfig:
       intersect: implementation of the brute-force rays×triangles nearest
         hit. "reference" = straight Möller–Trumbore in XLA; "pluecker" =
         the MXU matmul formulation; "pallas" = the tiled Pallas TPU kernel.
+      nee: next-event estimation — at every path vertex, additionally
+        sample a point on an emissive triangle and add the area-form
+        direct-light term (``ops/nee.py``). Lower variance AND the source
+        of smooth (reparameterized) camera/vertex gradients. Requires
+        rng="threefry" (the conformance LCG stream layout has no slot
+        for the extra draws).
       tri_block: triangle chunk size for the blocked/streamed intersection
         paths (keeps (rays × tri_block) intermediates bounded for large
         scenes).
@@ -58,6 +64,7 @@ class RenderConfig:
     rng: Literal["lcg", "threefry"] = "lcg"
     sampler: Literal["angle", "cosine", "uniform"] = "angle"
     intersect: Literal["reference", "pluecker", "pallas"] = "reference"
+    nee: bool = False
     tri_block: int = 512
     ray_tile: int = 2048
 
@@ -73,5 +80,8 @@ class RenderConfig:
 #: semantics (GPU kernels' seed-by-pixel LCG + angle-uniform sampler).
 CONFORMANCE = RenderConfig(rng="lcg", sampler="angle", intersect="reference")
 
-#: Quality config: threefry RNG + cosine-weighted sampling + fast kernels.
-QUALITY = RenderConfig(rng="threefry", sampler="cosine", intersect="pluecker")
+#: Quality config: threefry RNG + cosine-weighted sampling + NEE + fast
+#: kernels.
+QUALITY = RenderConfig(
+    rng="threefry", sampler="cosine", intersect="pluecker", nee=True
+)

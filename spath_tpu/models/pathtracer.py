@@ -44,28 +44,32 @@ from jax import lax
 from spath_tpu.camera import Camera, generate_rays
 from spath_tpu.config import RenderConfig
 from spath_tpu.ops.intersect import nearest_hit
+from spath_tpu.ops.nee import direct_light
 from spath_tpu.ops.rng import lcg_next, pixel_seeds
 from spath_tpu.ops.sampling import hemisphere_sample
 from spath_tpu.scene import Scene
 
 
 def _bounce_uniforms(cfg, rng_state, hit, bounce, sample_idx, n):
-    """Draw the two per-ray uniforms for a bounce and advance the RNG.
+    """Draw the per-ray uniforms for a bounce and advance the RNG.
 
     LCG mode: state is the per-pixel uint32 seed; it advances twice but
     ONLY where the ray actually hit (reference semantics — the sampler is
     only reached after a hit, ``src/cpu_renderer.cpp:51-58``).
     Threefry mode: state is a key; per-bounce subkeys are folded in, no
-    masking needed (streams are counter-based, not sequential).
+    masking needed (streams are counter-based, not sequential). With NEE
+    three extra uniforms are drawn (light selection + 2 barycentric).
+
+    Returns ``(state, us)`` where ``us`` has shape ``(2 or 5, N)``.
     """
     if cfg.rng == "lcg":
         s1, u1 = lcg_next(rng_state)
         s2, u2 = lcg_next(s1)
         new_state = jnp.where(hit, s2, rng_state)
-        return new_state, u1, u2
+        return new_state, jnp.stack([u1, u2])
     k = jax.random.fold_in(rng_state, bounce)
-    u = jax.random.uniform(k, (2, n), jnp.float32)
-    return rng_state, u[0], u[1]
+    n_draws = 5 if cfg.nee else 2
+    return rng_state, jax.random.uniform(k, (n_draws, n), jnp.float32)
 
 
 def trace_radiance(
@@ -77,6 +81,8 @@ def trace_radiance(
     sample_idx=0,
 ):
     """Trace ONE sample per ray. Returns ``(radiance (N,3), rng_state)``."""
+    if cfg.nee and cfg.rng != "threefry":
+        raise ValueError("cfg.nee requires rng='threefry'")
     n = origins.shape[0]
     v0, v1, v2 = scene.v0, scene.v1, scene.v2
     normals = scene.normals()
@@ -91,15 +97,17 @@ def trace_radiance(
         dist, idx = nearest_hit(o, d, v0, v1, v2, src, cfg)
         hit = alive & (idx >= 0)
         safe = jnp.maximum(idx, 0)
+        hit3 = hit[:, None]
+        point = o + dist[:, None] * d            # src/geom.h:218
 
         nrm = normals[safe]
         flip = jnp.sum(nrm * d, axis=-1) > 0.0   # src/cpu_renderer.cpp:56
         adj_n = jnp.where(flip[:, None], -nrm, nrm)
 
-        rng_state, u1, u2 = _bounce_uniforms(
+        rng_state, us = _bounce_uniforms(
             cfg, rng_state, hit, bounce, sample_idx, n
         )
-        next_d, weight = hemisphere_sample(cfg.sampler, adj_n, u1, u2)
+        next_d, weight = hemisphere_sample(cfg.sampler, adj_n, us[0], us[1])
         # Detached sampling: the direction is a constant of the backward
         # pass; cosθ keeps its dependence on the (differentiable) normal.
         next_d = lax.stop_gradient(next_d)
@@ -109,15 +117,25 @@ def trace_radiance(
             cos_theta = jnp.sum(next_d * adj_n, axis=-1)
             weight = jnp.float32(2.0) * cos_theta
 
-        hit3 = hit[:, None]
-        radiance = radiance + jnp.where(
-            hit3, throughput * scene.emission[safe], 0.0
-        )
+        if cfg.nee:
+            # Emission only on direct camera-ray hits; every path vertex's
+            # direct light comes from the reparameterized area sample.
+            if bounce == 0:
+                radiance = radiance + jnp.where(
+                    hit3, throughput * scene.emission[safe], 0.0
+                )
+            direct = direct_light(
+                scene, point, adj_n, safe, us[2], us[3], us[4], cfg
+            )
+            radiance = radiance + jnp.where(hit3, throughput * direct, 0.0)
+        else:
+            radiance = radiance + jnp.where(
+                hit3, throughput * scene.emission[safe], 0.0
+            )
         throughput = jnp.where(
             hit3, throughput * scene.albedo[safe] * weight[:, None], throughput
         )
 
-        point = o + dist[:, None] * d            # src/geom.h:218
         o = jnp.where(hit3, point, o)
         d = jnp.where(hit3, next_d, d)
         src = jnp.where(hit, idx, src)

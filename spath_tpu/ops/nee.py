@@ -1,0 +1,165 @@
+"""Next-event estimation (direct light sampling) — quality/gradient mode.
+
+The reference renderer has no light sampling: paths only find the area
+light by chance through hemisphere sampling (``src/cpu_renderer.cpp:58``),
+which is both high-variance and — crucially for the differentiable
+framework — gives an estimator whose camera/vertex gradients are
+visibility-only step functions (see tests/test_grad.py).
+
+NEE fixes both. At each path vertex p we draw a point y *on* an emissive
+triangle by barycentric reparameterization::
+
+    b1 = 1 - sqrt(u1); b2 = u2 * sqrt(u1)          (area-uniform)
+    y  = v0 + b1·(v1-v0) + b2·(v2-v0)
+
+and add the area-form direct-light contribution::
+
+    L_d = albedo/π · emit_ℓ · cosθ_s · cosθ_ℓ / r² · (A_ℓ / q_ℓ) · V(p,y)
+
+Because y, A_ℓ, r, and both cosines are smooth functions of the light's
+vertices and of p (hence of camera pose and scene geometry), ``jax.grad``
+of an NEE render carries the smooth shading gradients finite differences
+see — the "reparameterized sampling" half of the BASELINE north star,
+with V (the shadow test) remaining the detached discrete part.
+
+Light selection: a categorical draw over per-triangle weights
+``luminance(emission)·area``. The selection probability q is
+stop-gradient-ed; the estimator ``f·A/q`` is exactly ``∫_A f dA`` in
+expectation for ANY fixed q>0, so detaching q keeps the reparameterized
+gradient unbiased for the interior integral.
+
+Lights are double-sided (cosθ_ℓ = |n_ℓ·ω|), matching the reference where
+emission is returned for a hit from either side
+(``src/cpu_renderer.cpp:67`` adds emittance unconditionally).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from spath_tpu.config import RenderConfig
+from spath_tpu.ops.intersect import nearest_hit
+from spath_tpu.scene import Scene
+
+INV_PI = jnp.float32(1.0 / jnp.pi)
+
+
+def triangle_areas(scene: Scene) -> jax.Array:
+    """(T,) triangle areas, differentiable in vertices."""
+    e1 = scene.v1 - scene.v0
+    e2 = scene.v2 - scene.v0
+    return 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+
+
+def light_cdf(scene: Scene):
+    """Selection distribution over triangles ∝ luminance(emission)·area.
+
+    Returns ``(cdf (T,), prob (T,))``, both stop-gradient-ed (selection
+    is a detached discrete choice). All-dark scenes get a uniform cdf and
+    ``prob`` of zeros — callers mask contributions by ``prob > 0``.
+    """
+    lum = jnp.sum(scene.emission, axis=-1)
+    w = lax.stop_gradient(lum * triangle_areas(scene))
+    total = jnp.sum(w)
+    safe_total = jnp.where(total > 0, total, jnp.float32(1.0))
+    prob = jnp.where(total > 0, w / safe_total, 0.0)
+    cdf = jnp.cumsum(prob)
+    # Degenerate all-dark fallback: uniform cdf keeps searchsorted valid.
+    t = scene.n_tris
+    cdf = jnp.where(total > 0, cdf, jnp.arange(1, t + 1, dtype=jnp.float32) / t)
+    return cdf, prob
+
+
+def sample_light_points(scene: Scene, u_sel, u1, u2):
+    """Sample N points on emissive triangles.
+
+    Args:
+      u_sel, u1, u2: ``(N,)`` uniforms — selection, barycentric 1 & 2.
+
+    Returns dict with ``y (N,3)`` light points, ``normal (N,3)`` light
+    unit normals, ``emission (N,3)``, ``area (N,)``, ``prob (N,)``
+    detached selection probabilities, ``idx (N,)`` chosen triangle.
+    """
+    cdf, prob = light_cdf(scene)
+    idx = jnp.searchsorted(cdf, u_sel, side="right").astype(jnp.int32)
+    idx = jnp.clip(idx, 0, scene.n_tris - 1)
+    idx = lax.stop_gradient(idx)
+
+    v0 = scene.v0[idx]
+    v1 = scene.v1[idx]
+    v2 = scene.v2[idx]
+    su1 = jnp.sqrt(u1)
+    b1 = 1.0 - su1
+    b2 = u2 * su1
+    y = v0 + b1[:, None] * (v1 - v0) + b2[:, None] * (v2 - v0)
+
+    n = jnp.cross(v1 - v0, v2 - v0)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    area = 0.5 * norm[:, 0]
+    unit_n = n / jnp.maximum(norm, 1e-20)
+    return {
+        "y": y,
+        "normal": unit_n,
+        "emission": scene.emission[idx],
+        "area": area,
+        "prob": prob[idx],
+        "idx": idx,
+    }
+
+
+def direct_light(
+    scene: Scene,
+    p: jax.Array,
+    n_s: jax.Array,
+    hit_idx: jax.Array,
+    u_sel: jax.Array,
+    u1: jax.Array,
+    u2: jax.Array,
+    cfg: RenderConfig,
+):
+    """Direct radiance at surface points p with shading normals n_s.
+
+    Returns ``(N, 3)`` — the ``albedo/π · emit · G · A/q · V`` estimator.
+    Zero wherever the chosen triangle is non-emissive, the light is below
+    the surface horizon, or the shadow ray is occluded. ``hit_idx`` is
+    the surface's own triangle (excluded from the shadow trace, the
+    reference's source-exclusion convention).
+    """
+    s = sample_light_points(scene, u_sel, u1, u2)
+    delta = s["y"] - p
+    r2 = jnp.sum(delta * delta, axis=-1)
+    r = jnp.sqrt(jnp.maximum(r2, 1e-20))
+    omega = delta / r[:, None]
+
+    cos_s = jnp.sum(n_s * omega, axis=-1)
+    cos_l = jnp.abs(jnp.sum(s["normal"] * omega, axis=-1))
+
+    # Shadow ray: the nearest hit (excluding the source surface) must be
+    # the sampled light triangle itself.
+    _, occ_idx = nearest_hit(
+        p, omega, scene.v0, scene.v1, scene.v2, hit_idx, cfg
+    )
+    visible = occ_idx == s["idx"]
+
+    # Same-triangle degenerate case (surface IS the chosen light): the
+    # shadow ray excludes it, making "visible" meaningless — and a
+    # point doesn't light itself; mask it.
+    valid = (
+        visible
+        & (s["prob"] > 0)
+        & (cos_s > 0)
+        & (s["idx"] != hit_idx)
+    )
+    valid = lax.stop_gradient(valid)
+
+    g = cos_s * cos_l / jnp.maximum(r2, 1e-12)
+    weight = s["area"] / jnp.maximum(s["prob"], 1e-20)
+    contrib = (
+        scene.albedo[jnp.maximum(hit_idx, 0)]
+        * INV_PI
+        * s["emission"]
+        * (g * weight)[:, None]
+    )
+    return jnp.where(valid[:, None], contrib, 0.0)
