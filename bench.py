@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json): rays/s/chip, forward, 1080p 64 spp,
+5 bounces, default 7-triangle scene, reference-conformant estimator
+(per-pixel LCG + angle-uniform sampler — the semantics of
+``/root/reference/src/render.comp:160-227``) with the MXU (Plücker)
+intersection kernel. A "ray" is one path segment: W·H·spp·bounces
+(the unit the reference's cost structure is measured in — every segment
+brute-force scans all triangles, ``src/cpu_renderer.cpp:39-49``).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is the reference CPU renderer's semantics measured on this
+host — the fastest available CPU implementation of the same algorithm
+(the framework's vectorized NumPy oracle; the native C++ oracle is used
+instead when built), scaled from a smaller frame.
+
+Secondary metrics (stderr): fwd+bwd rays/s (gradients w.r.t. vertices +
+albedo, rematerialized backward), and the stress scene (BASELINE config
+4) at a reduced size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _time_best(fn, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t)
+    return best
+
+
+def measure_cpu_baseline(width=160, height=120, spp=4, bounces=5):
+    """Reference-semantics CPU rays/s (native C++ oracle if built,
+    else the vectorized NumPy oracle)."""
+    import numpy as np
+
+    from spath_tpu.scene import default_scene
+    from spath_tpu.utils import oracle
+
+    scene = default_scene()
+    verts = np.asarray(scene.vertices)
+    alb = np.asarray(scene.albedo)
+    emi = np.asarray(scene.emission)
+
+    try:
+        from spath_tpu.utils.native import native_render_pt, native_available
+
+        if native_available():
+            t = time.perf_counter()
+            native_render_pt(width, height, verts, alb, emi, spp, bounces)
+            dt = time.perf_counter() - t
+            _log(f"cpu baseline: native oracle {dt:.2f}s")
+            return width * height * spp * bounces / dt
+    except ImportError:
+        pass
+
+    t = time.perf_counter()
+    oracle.render_pt(width, height, verts, alb, emi, spp=spp,
+                     max_bounces=bounces)
+    dt = time.perf_counter() - t
+    _log(f"cpu baseline: numpy oracle {dt:.2f}s at {width}x{height} spp{spp}")
+    return width * height * spp * bounces / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spath_tpu.camera import Camera
+    from spath_tpu.config import RenderConfig
+    from spath_tpu.models.pathtracer import render_pt, render_radiance
+    from spath_tpu.scene import default_scene, procedural_scene
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev}")
+
+    scene = default_scene()
+    cam = Camera.default()
+    cfg = RenderConfig(
+        width=1920, height=1080, spp=64, max_bounces=5,
+        rng="lcg", sampler="angle", intersect="pluecker",
+    )
+    n_rays = cfg.width * cfg.height * cfg.spp * cfg.max_bounces
+
+    # --- forward ---
+    fwd = jax.jit(render_pt, static_argnames=("cfg",))
+    t = time.perf_counter()
+    fwd(scene, cam, cfg, 0).block_until_ready()
+    _log(f"fwd compile+first run: {time.perf_counter() - t:.1f}s")
+    dt = _time_best(lambda: fwd(scene, cam, cfg, 0).block_until_ready())
+    fwd_rays = n_rays / dt
+    _log(f"fwd: {dt:.3f}s -> {fwd_rays:.3e} rays/s")
+
+    # --- forward+backward (gradients w.r.t. vertices + albedo) ---
+    def loss(vertices, albedo, scene, cam):
+        s = scene.__class__(vertices, albedo, scene.emission)
+        return jnp.mean(render_radiance(s, cam, cfg, 0))
+
+    bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    try:
+        t = time.perf_counter()
+        jax.block_until_ready(bwd(scene.vertices, scene.albedo, scene, cam))
+        _log(f"fwd+bwd compile+first run: {time.perf_counter() - t:.1f}s")
+        dt_b = _time_best(
+            lambda: jax.block_until_ready(
+                bwd(scene.vertices, scene.albedo, scene, cam)
+            ),
+            n=2,
+        )
+        bwd_rays = n_rays / dt_b
+        _log(f"fwd+bwd: {dt_b:.3f}s -> {bwd_rays:.3e} rays/s")
+    except Exception as e:  # noqa: BLE001 — report and continue
+        _log(f"fwd+bwd failed: {type(e).__name__}: {e}")
+        bwd_rays = 0.0
+
+    # --- stress scene (config 4, scaled down for round-trip budget) ---
+    try:
+        stress = procedural_scene(10_000, seed=0)
+        scfg = cfg.replace(width=640, height=360, spp=4, tri_block=2048)
+        sfwd = jax.jit(render_pt, static_argnames=("cfg",))
+        sfwd(stress, cam, scfg, 0).block_until_ready()
+        dt_s = _time_best(
+            lambda: sfwd(stress, cam, scfg, 0).block_until_ready(), n=2
+        )
+        s_rays = scfg.width * scfg.height * scfg.spp * scfg.max_bounces / dt_s
+        _log(f"stress 10k tris 640x360 spp4: {dt_s:.3f}s -> {s_rays:.3e} rays/s")
+    except Exception as e:  # noqa: BLE001
+        _log(f"stress failed: {type(e).__name__}: {e}")
+
+    baseline = measure_cpu_baseline()
+    _log(f"cpu baseline: {baseline:.3e} rays/s")
+
+    print(json.dumps({
+        "metric": "rays_per_s_chip_fwd_1080p_64spp",
+        "value": round(fwd_rays),
+        "unit": "rays/s",
+        "vs_baseline": round(fwd_rays / baseline, 2) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

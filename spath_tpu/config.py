@@ -51,6 +51,11 @@ class RenderConfig:
         of smooth (reparameterized) camera/vertex gradients. Requires
         rng="threefry" (the conformance LCG stream layout has no slot
         for the extra draws).
+      remat: rematerialize each sample's trace in the backward pass
+        (``jax.checkpoint`` on the sample-scan body). Essential at high
+        spp: without it every sample's per-bounce residuals live until
+        the backward pass (~HBM × spp); with it memory is one sample's
+        worth at ~1.5× the FLOPs. Applies to the scanned (spp > 8) path.
       tri_block: triangle chunk size for the blocked/streamed intersection
         paths (keeps (rays × tri_block) intermediates bounded for large
         scenes).
@@ -65,6 +70,7 @@ class RenderConfig:
     sampler: Literal["angle", "cosine", "uniform"] = "angle"
     intersect: Literal["reference", "pluecker", "pallas"] = "reference"
     nee: bool = False
+    remat: bool = True
     tri_block: int = 512
     ray_tile: int = 2048
 

@@ -45,20 +45,22 @@ from spath_tpu.camera import Camera, generate_rays
 from spath_tpu.config import RenderConfig
 from spath_tpu.ops.intersect import nearest_hit
 from spath_tpu.ops.nee import direct_light
-from spath_tpu.ops.rng import lcg_next, pixel_seeds
+from spath_tpu.ops.rng import lcg_next, per_pixel_uniforms, pixel_seeds
 from spath_tpu.ops.sampling import hemisphere_sample
 from spath_tpu.scene import Scene
 
 
-def _bounce_uniforms(cfg, rng_state, hit, bounce, sample_idx, n):
+def _bounce_uniforms(cfg, rng_state, hit, bounce, pixel_ids, n):
     """Draw the per-ray uniforms for a bounce and advance the RNG.
 
     LCG mode: state is the per-pixel uint32 seed; it advances twice but
     ONLY where the ray actually hit (reference semantics — the sampler is
     only reached after a hit, ``src/cpu_renderer.cpp:51-58``).
-    Threefry mode: state is a key; per-bounce subkeys are folded in, no
-    masking needed (streams are counter-based, not sequential). With NEE
-    three extra uniforms are drawn (light selection + 2 barycentric).
+    Threefry mode: state is a key already folded per sample; per-bounce
+    subkeys are folded in here and each pixel's draw is keyed by its
+    *global* pixel id (counter-based — no sequential state, and
+    bit-identical under any sharding of the wavefront). With NEE three
+    extra uniforms are drawn (light selection + 2 barycentric).
 
     Returns ``(state, us)`` where ``us`` has shape ``(2 or 5, N)``.
     """
@@ -69,7 +71,7 @@ def _bounce_uniforms(cfg, rng_state, hit, bounce, sample_idx, n):
         return new_state, jnp.stack([u1, u2])
     k = jax.random.fold_in(rng_state, bounce)
     n_draws = 5 if cfg.nee else 2
-    return rng_state, jax.random.uniform(k, (n_draws, n), jnp.float32)
+    return rng_state, per_pixel_uniforms(k, pixel_ids, n_draws)
 
 
 def trace_radiance(
@@ -78,12 +80,19 @@ def trace_radiance(
     directions: jax.Array,
     cfg: RenderConfig,
     rng_state,
-    sample_idx=0,
+    pixel_ids: jax.Array | None = None,
 ):
-    """Trace ONE sample per ray. Returns ``(radiance (N,3), rng_state)``."""
+    """Trace ONE sample per ray. Returns ``(radiance (N,3), rng_state)``.
+
+    ``pixel_ids`` are the rays' global pixel indices (default
+    ``arange(N)``) — they key the counter-based threefry streams so a
+    sharded wavefront draws the same randoms as a single-device one.
+    """
     if cfg.nee and cfg.rng != "threefry":
         raise ValueError("cfg.nee requires rng='threefry'")
     n = origins.shape[0]
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(n, dtype=jnp.uint32)
     v0, v1, v2 = scene.v0, scene.v1, scene.v2
     normals = scene.normals()
 
@@ -105,7 +114,7 @@ def trace_radiance(
         adj_n = jnp.where(flip[:, None], -nrm, nrm)
 
         rng_state, us = _bounce_uniforms(
-            cfg, rng_state, hit, bounce, sample_idx, n
+            cfg, rng_state, hit, bounce, pixel_ids, n
         )
         next_d, weight = hemisphere_sample(cfg.sampler, adj_n, us[0], us[1])
         # Detached sampling: the direction is a constant of the backward
@@ -144,20 +153,27 @@ def trace_radiance(
     return radiance, rng_state
 
 
-def render_radiance(
-    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0
+def trace_mean_radiance(
+    scene: Scene,
+    origins: jax.Array,
+    directions: jax.Array,
+    cfg: RenderConfig,
+    seed=0,
+    pixel_ids: jax.Array | None = None,
 ) -> jax.Array:
-    """Average ``cfg.spp`` samples of radiance per pixel → ``(H, W, 3)``.
+    """Average ``cfg.spp`` radiance samples per ray → ``(N, 3)``.
 
-    Unclamped HDR radiance (the inverse-rendering loss wants this);
-    ``render_pt`` applies the reference's clamp.
+    The shard-invariant core: rays + their global pixel ids in, mean
+    radiance out. ``parallel.shard`` maps exactly this function over a
+    device mesh.
     """
-    origins, directions = generate_rays(camera, cfg.width, cfg.height)
     n = origins.shape[0]
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(n, dtype=jnp.uint32)
 
     if cfg.rng == "lcg":
         # Per-pixel streams seeded by pixel index (src/render.cl:233).
-        state0 = pixel_seeds(n, 0) + jnp.uint32(seed)
+        state0 = pixel_ids.astype(jnp.uint32) + jnp.uint32(seed)
     else:
         state0 = jax.random.key(seed) if not _is_key(seed) else seed
 
@@ -165,11 +181,13 @@ def render_radiance(
         state, accum = carry
         if cfg.rng == "threefry":
             state_s = jax.random.fold_in(state, s)
-            rad, _ = trace_radiance(scene, origins, directions, cfg, state_s, s)
+            rad, _ = trace_radiance(
+                scene, origins, directions, cfg, state_s, pixel_ids
+            )
             new_state = state
         else:
             rad, new_state = trace_radiance(
-                scene, origins, directions, cfg, state, s
+                scene, origins, directions, cfg, state, pixel_ids
             )
         return (new_state, accum + rad), None
 
@@ -187,8 +205,21 @@ def render_radiance(
             carry, _ = sample_step(carry, s)
         accum = carry[1]
     else:
-        (_, accum), _ = lax.scan(sample_step, init, jnp.arange(cfg.spp))
-    mean = accum * (jnp.float32(1.0) / jnp.float32(cfg.spp))
+        body = jax.checkpoint(sample_step) if cfg.remat else sample_step
+        (_, accum), _ = lax.scan(body, init, jnp.arange(cfg.spp))
+    return accum * (jnp.float32(1.0) / jnp.float32(cfg.spp))
+
+
+def render_radiance(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0
+) -> jax.Array:
+    """Average ``cfg.spp`` samples of radiance per pixel → ``(H, W, 3)``.
+
+    Unclamped HDR radiance (the inverse-rendering loss wants this);
+    ``render_pt`` applies the reference's clamp.
+    """
+    origins, directions = generate_rays(camera, cfg.width, cfg.height)
+    mean = trace_mean_radiance(scene, origins, directions, cfg, seed)
     return mean.reshape(cfg.height, cfg.width, 3)
 
 

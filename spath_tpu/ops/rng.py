@@ -68,3 +68,22 @@ def pixel_seeds(n_pixels: int, offset: int = 0) -> jax.Array:
 def threefry_uniform(key: jax.Array, shape, lo=0.0, hi=1.0):
     """Quality-mode uniforms from a threefry key."""
     return jax.random.uniform(key, shape, jnp.float32, lo, hi)
+
+
+def per_pixel_uniforms(key: jax.Array, pixel_ids: jax.Array, n_draws: int):
+    """Counter-based threefry uniforms keyed per pixel.
+
+    ``key`` should already encode (seed, sample, bounce) via ``fold_in``;
+    each pixel's stream is then keyed by its *global* pixel id. Because
+    the draw depends only on (key, pixel_id) — not on array position —
+    the same pixels get the same randoms regardless of how the wavefront
+    is sharded across devices, so sharded and single-device renders are
+    bit-identical in threefry mode.
+
+    Returns ``(n_draws, N)`` float32 in [0, 1).
+    """
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(key, pixel_ids)
+    us = jax.vmap(lambda k: jax.random.uniform(k, (n_draws,), jnp.float32))(
+        keys
+    )
+    return us.T

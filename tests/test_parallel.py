@@ -1,0 +1,134 @@
+"""SPMD sharding on a fake 8-device CPU mesh (SURVEY.md §4d).
+
+The driver's separate dry-run validates multi-chip compile; these tests
+validate *semantics*: sharded output must equal single-device output
+bit-for-bit (the RNG is keyed by global pixel id, so the wavefront can
+be split arbitrarily)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spath_tpu.camera import Camera
+from spath_tpu.config import RenderConfig
+from spath_tpu.models.flat import render_flat
+from spath_tpu.models.pathtracer import render_pt, render_radiance
+from spath_tpu.parallel import (
+    make_mesh,
+    render_pt_sharded,
+    render_radiance_sharded,
+)
+from spath_tpu.parallel.mesh import make_mesh_2d
+from spath_tpu.parallel.ring import render_flat_ring
+
+
+def _assert_images_match(got, want):
+    """Same RNG streams, but different compilations (partitioned vs not)
+    round trig a few ulps apart. The guarantee being tested is that the
+    STREAMS match — i.e. no pixel takes a different path — so the bound
+    is a tight absolute tolerance (a path flip would show up as an O(1)
+    difference)."""
+    exact = (got == want).all(-1)
+    assert exact.mean() > 0.5, f"only {exact.mean():.3f} pixels exact"
+    # A 1-ulp trig difference between compilations can still flip a
+    # grazing path entirely; require those to be rare and everything
+    # else ulp-tight.
+    flipped = (np.abs(got - want) > 1e-4).any(-1)
+    assert flipped.mean() < 0.01, f"{flipped.mean():.4f} pixels flipped"
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8, (
+        "conftest must force an 8-device CPU platform"
+    )
+
+
+@pytest.mark.parametrize("rng,sampler,nee", [
+    ("lcg", "angle", False),
+    ("threefry", "cosine", True),
+])
+def test_sharded_matches_single_device(scene7, rng, sampler, nee):
+    cfg = RenderConfig(width=40, height=24, spp=4, rng=rng, sampler=sampler,
+                       nee=nee)
+    cam = Camera.default()
+    mesh = make_mesh(8)
+    want = np.asarray(render_pt(scene7, cam, cfg, seed=0))
+    got = np.asarray(render_pt_sharded(scene7, cam, cfg, seed=0, mesh=mesh))
+    _assert_images_match(got, want)
+
+
+def test_sharded_with_ragged_pixel_count(scene7):
+    """41×23 pixels — not a multiple of 8 — exercises padding."""
+    cfg = RenderConfig(width=41, height=23, spp=2)
+    cam = Camera.default()
+    want = np.asarray(render_radiance(scene7, cam, cfg, seed=0))
+    got = np.asarray(
+        render_radiance_sharded(scene7, cam, cfg, seed=0, mesh=make_mesh(8))
+    )
+    _assert_images_match(got, want)
+
+
+def test_sharded_on_subset_of_devices(scene7):
+    cfg = RenderConfig(width=32, height=16, spp=2)
+    cam = Camera.default()
+    want = np.asarray(render_radiance(scene7, cam, cfg, seed=0))
+    for n_dev in (2, 4):
+        got = np.asarray(
+            render_radiance_sharded(
+                scene7, cam, cfg, seed=0, mesh=make_mesh(n_dev)
+            )
+        )
+        _assert_images_match(got, want)
+
+
+def test_ring_flat_matches_replicated(scene7):
+    """Triangle-ring mode: rays AND triangles sharded, triangle shards
+    ppermuted around the ring — must reproduce the replicated result
+    exactly (associative min-reduction)."""
+    cfg = RenderConfig(width=40, height=24, spp=1)
+    cam = Camera.default()
+    want = np.asarray(render_flat(scene7, cam, cfg))
+    got = np.asarray(
+        render_flat_ring(scene7, cam, cfg, make_mesh(8, axis="shard"))
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ring_flat_procedural_scene():
+    from spath_tpu.scene import procedural_scene
+
+    scene = procedural_scene(300, seed=2)
+    cfg = RenderConfig(width=32, height=24, spp=1, tri_block=64)
+    cam = Camera.default()
+    want = np.asarray(render_flat(scene, cam, cfg))
+    got = np.asarray(
+        render_flat_ring(scene, cam, cfg, make_mesh(8, axis="shard"))
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_gradients_match():
+    """Gradients through the sharded render equal single-device ones —
+    the collective transpose (psum of scene grads) is exact. Uses a
+    silhouette-free scene so no grazing path can flip between the two
+    compilations (flips would be compilation noise, not a sharding bug)."""
+    from tests.test_nee import _wall_and_light_scene
+
+    scene = _wall_and_light_scene()
+    cfg = RenderConfig(width=24, height=16, spp=2, rng="threefry",
+                       sampler="cosine", nee=True, max_bounces=2)
+    cam = Camera.default()
+    mesh = make_mesh(8)
+
+    def loss_single(albedo):
+        s = scene.__class__(scene.vertices, albedo, scene.emission)
+        return jnp.sum(render_radiance(s, cam, cfg, seed=0))
+
+    def loss_sharded(albedo):
+        s = scene.__class__(scene.vertices, albedo, scene.emission)
+        return jnp.sum(render_radiance_sharded(s, cam, cfg, seed=0, mesh=mesh))
+
+    g1 = np.asarray(jax.grad(loss_single)(scene.albedo))
+    g2 = np.asarray(jax.grad(loss_sharded)(scene.albedo))
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-5)
