@@ -47,13 +47,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from spath_tpu.config import EPSILON, MAX_DIST, RenderConfig
 
-_EPS = jnp.float32(EPSILON)
-_INV_EPS = jnp.float32(1.0 / EPSILON)
-_BIG = jnp.float32(MAX_DIST)
+# numpy scalars, NOT jnp: a module-level jnp scalar is a committed
+# device buffer, and executables that close over one run ~400x slower
+# on the remote-TPU (axon) path than ones with inlined literals.
+_EPS = np.float32(EPSILON)
+_INV_EPS = np.float32(1.0 / EPSILON)
+_BIG = np.float32(MAX_DIST)
 
 
 def _dot(ax, ay, az, bx, by, bz):

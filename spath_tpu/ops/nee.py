@@ -37,13 +37,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from spath_tpu.config import RenderConfig
 from spath_tpu.ops.intersect import nearest_hit
 from spath_tpu.scene import Scene
 
-INV_PI = jnp.float32(1.0 / jnp.pi)
+# numpy scalars, NOT jnp: a module-level jnp scalar is a committed
+# device buffer, and executables that close over one run ~400x slower
+# on the remote-TPU (axon) path than ones with inlined literals.
+INV_PI = np.float32(1.0 / np.pi)
 
 
 def triangle_areas(scene: Scene) -> jax.Array:

@@ -26,11 +26,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_MUL = jnp.uint32(214013)
-_ADD = jnp.uint32(2531011)
-_MASK = jnp.uint32(0x7FFF)
-_NORM = jnp.float32(1.0 / 32767.0)
+# numpy scalars, NOT jnp: a module-level jnp scalar is a committed
+# device buffer, and executables that close over one run ~400x slower
+# on the remote-TPU (axon) path than ones with inlined literals.
+_MUL = np.uint32(214013)
+_ADD = np.uint32(2531011)
+_MASK = np.uint32(0x7FFF)
+_NORM = np.float32(1.0 / 32767.0)
 
 
 def lcg_next(seed: jax.Array):

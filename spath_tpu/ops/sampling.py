@@ -28,9 +28,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-TWO_PI = jnp.float32(2.0 * jnp.pi)
-HALF_PI = jnp.float32(0.5 * jnp.pi)
+# numpy scalars, NOT jnp: a module-level jnp scalar is a committed
+# device buffer, and executables that close over one run ~400x slower
+# on the remote-TPU (axon) path than ones with inlined literals.
+TWO_PI = np.float32(2.0 * np.pi)
+HALF_PI = np.float32(0.5 * np.pi)
 
 
 def angle_sample(normal: jax.Array, u1: jax.Array, u2: jax.Array):

@@ -28,13 +28,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from spath_tpu.config import MAX_DIST, RenderConfig
 from spath_tpu.ops.intersect import nearest_hit
 
-_BIG = jnp.float32(MAX_DIST)
+# numpy scalars, NOT jnp: a module-level jnp scalar is a committed
+# device buffer, and executables that close over one run ~400x slower
+# on the remote-TPU (axon) path than ones with inlined literals.
+_BIG = np.float32(MAX_DIST)
 
 
 def _combine(best_d, best_i, new_d, new_i):
