@@ -41,7 +41,7 @@ def _time_best(fn, n=3):
     return best
 
 
-def measure_cpu_baseline(width=160, height=120, spp=4, bounces=5):
+def measure_cpu_baseline(width=320, height=240, spp=8, bounces=5):
     """Reference-semantics CPU rays/s (native C++ oracle if built,
     else the vectorized NumPy oracle)."""
     import numpy as np

@@ -43,6 +43,7 @@ from jax import lax
 
 from spath_tpu.camera import Camera, generate_rays
 from spath_tpu.config import RenderConfig
+from spath_tpu.ops.gather import fused_row_gather
 from spath_tpu.ops.intersect import nearest_hit
 from spath_tpu.ops.nee import direct_light
 from spath_tpu.ops.rng import lcg_next, per_pixel_uniforms, pixel_seeds
@@ -109,7 +110,11 @@ def trace_radiance(
         hit3 = hit[:, None]
         point = o + dist[:, None] * d            # src/geom.h:218
 
-        nrm = normals[safe]
+        # One fused one-hot/MXU gather for all per-triangle attributes
+        # (a plain per-attribute gather is ~10x slower on TPU).
+        nrm, alb, emi = fused_row_gather(
+            (normals, scene.albedo, scene.emission), safe
+        )
         flip = jnp.sum(nrm * d, axis=-1) > 0.0   # src/cpu_renderer.cpp:56
         adj_n = jnp.where(flip[:, None], -nrm, nrm)
 
@@ -130,19 +135,16 @@ def trace_radiance(
             # Emission only on direct camera-ray hits; every path vertex's
             # direct light comes from the reparameterized area sample.
             if bounce == 0:
-                radiance = radiance + jnp.where(
-                    hit3, throughput * scene.emission[safe], 0.0
-                )
+                radiance = radiance + jnp.where(hit3, throughput * emi, 0.0)
             direct = direct_light(
-                scene, point, adj_n, safe, us[2], us[3], us[4], cfg
+                scene, point, adj_n, safe, us[2], us[3], us[4], cfg,
+                hit_albedo=alb,
             )
             radiance = radiance + jnp.where(hit3, throughput * direct, 0.0)
         else:
-            radiance = radiance + jnp.where(
-                hit3, throughput * scene.emission[safe], 0.0
-            )
+            radiance = radiance + jnp.where(hit3, throughput * emi, 0.0)
         throughput = jnp.where(
-            hit3, throughput * scene.albedo[safe] * weight[:, None], throughput
+            hit3, throughput * alb * weight[:, None], throughput
         )
 
         o = jnp.where(hit3, point, o)

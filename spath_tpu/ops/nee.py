@@ -86,14 +86,16 @@ def sample_light_points(scene: Scene, u_sel, u1, u2):
     unit normals, ``emission (N,3)``, ``area (N,)``, ``prob (N,)``
     detached selection probabilities, ``idx (N,)`` chosen triangle.
     """
+    from spath_tpu.ops.gather import fused_row_gather
+
     cdf, prob = light_cdf(scene)
     idx = jnp.searchsorted(cdf, u_sel, side="right").astype(jnp.int32)
     idx = jnp.clip(idx, 0, scene.n_tris - 1)
     idx = lax.stop_gradient(idx)
 
-    v0 = scene.v0[idx]
-    v1 = scene.v1[idx]
-    v2 = scene.v2[idx]
+    v0, v1, v2, emission, prob_rows = fused_row_gather(
+        (scene.v0, scene.v1, scene.v2, scene.emission, prob[:, None]), idx
+    )
     su1 = jnp.sqrt(u1)
     b1 = 1.0 - su1
     b2 = u2 * su1
@@ -106,9 +108,9 @@ def sample_light_points(scene: Scene, u_sel, u1, u2):
     return {
         "y": y,
         "normal": unit_n,
-        "emission": scene.emission[idx],
+        "emission": emission,
         "area": area,
-        "prob": prob[idx],
+        "prob": prob_rows[:, 0],
         "idx": idx,
     }
 
@@ -122,6 +124,7 @@ def direct_light(
     u1: jax.Array,
     u2: jax.Array,
     cfg: RenderConfig,
+    hit_albedo: jax.Array | None = None,
 ):
     """Direct radiance at surface points p with shading normals n_s.
 
@@ -129,7 +132,9 @@ def direct_light(
     Zero wherever the chosen triangle is non-emissive, the light is below
     the surface horizon, or the shadow ray is occluded. ``hit_idx`` is
     the surface's own triangle (excluded from the shadow trace, the
-    reference's source-exclusion convention).
+    reference's source-exclusion convention). ``hit_albedo`` lets the
+    caller pass the already-gathered surface albedo to avoid a second
+    gather.
     """
     s = sample_light_points(scene, u_sel, u1, u2)
     delta = s["y"] - p
@@ -160,10 +165,7 @@ def direct_light(
 
     g = cos_s * cos_l / jnp.maximum(r2, 1e-12)
     weight = s["area"] / jnp.maximum(s["prob"], 1e-20)
-    contrib = (
-        scene.albedo[jnp.maximum(hit_idx, 0)]
-        * INV_PI
-        * s["emission"]
-        * (g * weight)[:, None]
-    )
+    if hit_albedo is None:
+        hit_albedo = scene.albedo[jnp.maximum(hit_idx, 0)]
+    contrib = hit_albedo * INV_PI * s["emission"] * (g * weight)[:, None]
     return jnp.where(valid[:, None], contrib, 0.0)
