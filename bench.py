@@ -128,7 +128,7 @@ def main():
     # --- stress scene (config 4, scaled down for round-trip budget) ---
     try:
         stress = procedural_scene(10_000, seed=0)
-        scfg = cfg.replace(width=640, height=360, spp=4, tri_block=2048)
+        scfg = cfg.replace(width=640, height=360, spp=4, intersect="pallas")
         sfwd = jax.jit(render_pt, static_argnames=("cfg",))
         sfwd(stress, cam, scfg, 0).block_until_ready()
         dt_s = _time_best(
