@@ -54,7 +54,7 @@ def _add_common(p: argparse.ArgumentParser):
                    help="conformance = reference LCG+angle sampler; "
                         "quality = threefry+cosine+NEE")
     p.add_argument("--intersect",
-                   choices=["reference", "pluecker", "pallas"],
+                   choices=["reference", "pluecker", "pallas", "pallas_fast"],
                    default=None,
                    help="intersection kernel (default: mode-dependent)")
     p.add_argument("--camera-pos", type=_parse_vec3, default=[0, 0, -3])

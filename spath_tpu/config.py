@@ -44,7 +44,10 @@ class RenderConfig:
         (unbiased, higher variance — cross-checks "cosine").
       intersect: implementation of the brute-force rays×triangles nearest
         hit. "reference" = straight Möller–Trumbore in XLA; "pluecker" =
-        the MXU matmul formulation; "pallas" = the tiled Pallas TPU kernel.
+        the MXU matmul formulation; "pallas" = the tiled Pallas TPU
+        kernel (full fp32, exact); "pallas_fast" = the same kernel with
+        hi/lo-bf16 matmuls (1.5× faster, ~0.03% of nearest indices may
+        flip on near-ties).
       nee: next-event estimation — at every path vertex, additionally
         sample a point on an emissive triangle and add the area-form
         direct-light term (``ops/nee.py``). Lower variance AND the source
@@ -68,7 +71,9 @@ class RenderConfig:
     max_bounces: int = 5
     rng: Literal["lcg", "threefry"] = "lcg"
     sampler: Literal["angle", "cosine", "uniform"] = "angle"
-    intersect: Literal["reference", "pluecker", "pallas"] = "reference"
+    intersect: Literal[
+        "reference", "pluecker", "pallas", "pallas_fast"
+    ] = "reference"
     nee: bool = False
     remat: bool = True
     tri_block: int = 512

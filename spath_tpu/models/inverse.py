@@ -133,7 +133,10 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        from spath_tpu.utils.logging import global_norm
+
+        aux = {"loss": loss, "grad_norm": global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1), aux
 
     return jax.jit(step_fn)
 
@@ -158,6 +161,7 @@ def recover(
     checkpoint_every: int = 50,
     log_every: int = 20,
     log_fn=print,
+    metrics_path: str | None = None,
 ):
     """Full optimization loop with optional orbax checkpoint/resume.
 
@@ -185,16 +189,28 @@ def recover(
             state = restored
             log_fn(f"resumed from step {int(state.step)}")
 
+    metrics = None
+    if metrics_path is not None:
+        from spath_tpu.utils.logging import JsonlLogger
+
+        metrics = JsonlLogger(metrics_path)
+
     train_step = make_train_step(optimizer, base_scene, cfg, mesh, fixed_seed)
     losses = []
     start = int(state.step)
     for i in range(start, steps):
-        state, loss = train_step(state, target)
-        losses.append(float(loss))
+        state, aux = train_step(state, target)
+        loss = float(aux["loss"])
+        losses.append(loss)
+        if metrics is not None:
+            metrics.log("train_step", step=i, loss=loss,
+                        grad_norm=float(aux["grad_norm"]))
         if log_every and (i % log_every == 0 or i == steps - 1):
-            log_fn(f"step {i}: loss {float(loss):.6f}")
+            log_fn(f"step {i}: loss {loss:.6f}")
         if ckpt is not None and ((i + 1) % checkpoint_every == 0):
             ckpt.save(int(state.step), state)
     if ckpt is not None:
         ckpt.save(int(state.step), state)
+    if metrics is not None:
+        metrics.close()
     return state, losses

@@ -82,12 +82,17 @@ def trace_radiance(
     cfg: RenderConfig,
     rng_state,
     pixel_ids: jax.Array | None = None,
+    return_aux: bool = False,
 ):
     """Trace ONE sample per ray. Returns ``(radiance (N,3), rng_state)``.
 
     ``pixel_ids`` are the rays' global pixel indices (default
     ``arange(N)``) — they key the counter-based threefry streams so a
     sharded wavefront draws the same randoms as a single-device one.
+
+    ``return_aux``: additionally return a dict of per-bounce
+    observability metrics (``alive_fraction (B,)`` — the wavefront
+    occupancy that stream compaction would reclaim).
     """
     if cfg.nee and cfg.rng != "threefry":
         raise ValueError("cfg.nee requires rng='threefry'")
@@ -102,6 +107,7 @@ def trace_radiance(
     radiance = jnp.zeros((n, 3), jnp.float32)
     alive = jnp.ones(n, bool)
     src = jnp.full(n, -1, jnp.int32)
+    alive_fracs = []
 
     for bounce in range(cfg.max_bounces):
         dist, idx = nearest_hit(o, d, v0, v1, v2, src, cfg)
@@ -151,7 +157,11 @@ def trace_radiance(
         d = jnp.where(hit3, next_d, d)
         src = jnp.where(hit, idx, src)
         alive = hit
+        if return_aux:
+            alive_fracs.append(jnp.mean(alive.astype(jnp.float32)))
 
+    if return_aux:
+        return radiance, rng_state, {"alive_fraction": jnp.stack(alive_fracs)}
     return radiance, rng_state
 
 

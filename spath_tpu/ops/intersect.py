@@ -216,10 +216,12 @@ def nearest_hit(
     src_idx = src_idx.astype(jnp.int32)
     t = v0.shape[0]
 
-    if method == "pallas":
+    if method in ("pallas", "pallas_fast"):
         from spath_tpu.ops.pallas.intersect_pallas import nearest_hit_pallas
 
-        return nearest_hit_pallas(o, d, v0, v1, v2, src_idx, cfg)
+        return nearest_hit_pallas(
+            o, d, v0, v1, v2, src_idx, cfg, fast=(method == "pallas_fast")
+        )
 
     if t <= block:
         # Single block — no scan.
