@@ -37,6 +37,8 @@ well-defined and finite-difference-checkable.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -83,6 +85,7 @@ def trace_radiance(
     rng_state,
     pixel_ids: jax.Array | None = None,
     return_aux: bool = False,
+    first_hit=None,
 ):
     """Trace ONE sample per ray. Returns ``(radiance (N,3), rng_state)``.
 
@@ -93,6 +96,11 @@ def trace_radiance(
     ``return_aux``: additionally return a dict of per-bounce
     observability metrics (``alive_fraction (B,)`` — the wavefront
     occupancy that stream compaction would reclaim).
+
+    ``first_hit``: optional precomputed ``(dist, idx)`` of the camera
+    rays. Camera rays are identical for every sample, so their
+    (deterministic) intersection can be hoisted out of the sample loop —
+    bit-identical results, one fewer nearest-hit sweep per sample.
     """
     if cfg.nee and cfg.rng != "threefry":
         raise ValueError("cfg.nee requires rng='threefry'")
@@ -110,7 +118,10 @@ def trace_radiance(
     alive_fracs = []
 
     for bounce in range(cfg.max_bounces):
-        dist, idx = nearest_hit(o, d, v0, v1, v2, src, cfg)
+        if bounce == 0 and first_hit is not None:
+            dist, idx = first_hit
+        else:
+            dist, idx = nearest_hit(o, d, v0, v1, v2, src, cfg)
         hit = alive & (idx >= 0)
         safe = jnp.maximum(idx, 0)
         hit3 = hit[:, None]
@@ -172,16 +183,26 @@ def trace_mean_radiance(
     cfg: RenderConfig,
     seed=0,
     pixel_ids: jax.Array | None = None,
+    first_hit=None,
 ) -> jax.Array:
     """Average ``cfg.spp`` radiance samples per ray → ``(N, 3)``.
 
     The shard-invariant core: rays + their global pixel ids in, mean
     radiance out. ``parallel.shard`` maps exactly this function over a
     device mesh.
+
+    The camera rays' nearest hit is deterministic and shared by every
+    sample, so it is computed once here and fed to each sample's trace
+    (``first_hit``) — unless the caller already supplies it.
     """
     n = origins.shape[0]
     if pixel_ids is None:
         pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    if first_hit is None:
+        src = jnp.full(n, -1, jnp.int32)
+        first_hit = nearest_hit(
+            origins, directions, scene.v0, scene.v1, scene.v2, src, cfg
+        )
 
     if cfg.rng == "lcg":
         # Per-pixel streams seeded by pixel index (src/render.cl:233).
@@ -194,12 +215,14 @@ def trace_mean_radiance(
         if cfg.rng == "threefry":
             state_s = jax.random.fold_in(state, s)
             rad, _ = trace_radiance(
-                scene, origins, directions, cfg, state_s, pixel_ids
+                scene, origins, directions, cfg, state_s, pixel_ids,
+                first_hit=first_hit,
             )
             new_state = state
         else:
             rad, new_state = trace_radiance(
-                scene, origins, directions, cfg, state, pixel_ids
+                scene, origins, directions, cfg, state, pixel_ids,
+                first_hit=first_hit,
             )
         return (new_state, accum + rad), None
 
@@ -233,6 +256,68 @@ def render_radiance(
     origins, directions = generate_rays(camera, cfg.width, cfg.height)
     mean = trace_mean_radiance(scene, origins, directions, cfg, seed)
     return mean.reshape(cfg.height, cfg.width, 3)
+
+
+def render_radiance_compact(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0,
+    pad_multiple: int = 65536,
+):
+    """Stream-compacted forward render.
+
+    Pixels whose camera ray misses the whole scene contribute exactly
+    zero for every sample and bounce (the camera rays are deterministic),
+    so the wavefront is compacted to the live set before the sample loop
+    — an EXACT optimization (per-pixel RNG streams are keyed by global
+    pixel id, so compaction cannot change any value). On the default view
+    ~56% of pixels are background → ~1.8× fewer traced rays.
+
+    Exactly one scalar (the live count, to pick the padded compact size)
+    crosses to the host; everything else — the first-hit sweep, the
+    on-device ``nonzero`` compaction, the trace, and the scatter back —
+    is a single jitted program. The count is padded to ``pad_multiple``
+    so camera motion rarely recompiles. Forward/serving path — use
+    ``render_radiance`` inside ``jax.grad``.
+    """
+    origins, directions = generate_rays(camera, cfg.width, cfg.height)
+    n = origins.shape[0]
+    dist0, idx0 = _first_hit_jit(scene, origins, directions, cfg)
+    n_live = int(jnp.sum(idx0 >= 0))          # the one host scalar
+    if n_live == 0:
+        return jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    padded = min(-(-n_live // pad_multiple) * pad_multiple, n)
+    out = _trace_compact_jit(
+        scene, origins, directions, dist0, idx0, jnp.asarray(seed),
+        cfg, padded,
+    )
+    return out.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _first_hit_jit(scene, origins, directions, cfg):
+    src = jnp.full(origins.shape[0], -1, jnp.int32)
+    return nearest_hit(
+        origins, directions, scene.v0, scene.v1, scene.v2, src, cfg
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "padded"))
+def _trace_compact_jit(scene, origins, directions, dist0, idx0, seed, cfg,
+                       padded):
+    n = origins.shape[0]
+    live = idx0 >= 0
+    # On-device compaction; padding lanes select pixel n-1 repeatedly
+    # (fill_value) — their radiance is dropped by the masked scatter.
+    (sel,) = jnp.nonzero(live, size=padded, fill_value=n - 1)
+    sel = sel.astype(jnp.int32)
+    in_range = jnp.arange(padded, dtype=jnp.int32) < jnp.sum(live)
+    mean_live = trace_mean_radiance(
+        scene, origins[sel], directions[sel], cfg, seed,
+        sel.astype(jnp.uint32), first_hit=(dist0[sel], idx0[sel]),
+    )
+    out = jnp.zeros((n, 3), jnp.float32)
+    return out.at[jnp.where(in_range, sel, n)].set(
+        mean_live, mode="drop"
+    )
 
 
 def _is_key(x) -> bool:

@@ -130,3 +130,21 @@ def test_pt_seed_changes_image(scene7):
     a = np.asarray(render_pt(scene7, Camera.default(), cfg, seed=0))
     b = np.asarray(render_pt(scene7, Camera.default(), cfg, seed=12345))
     assert not np.array_equal(a, b)
+
+
+def test_compact_render_matches_full(scene7):
+    """Stream compaction is exact: per-pixel RNG streams are keyed by
+    global pixel id, so dropping dead background pixels changes nothing."""
+    from spath_tpu.models.pathtracer import render_radiance_compact
+
+    cfg = RenderConfig(width=64, height=48, spp=4)
+    cam = Camera.default()
+    want = np.asarray(render_radiance(scene7, cam, cfg, seed=0))
+    got = np.asarray(
+        render_radiance_compact(scene7, cam, cfg, seed=0, pad_multiple=256)
+    )
+    # Same streams; only compilation-level trig ulps may differ.
+    flipped = (np.abs(got - want) > 1e-4).any(-1)
+    assert flipped.mean() < 0.01, f"{flipped.mean():.4f} pixels flipped"
+    # background must be exactly zero in both
+    assert ((want.sum(-1) == 0) == (got.sum(-1) == 0)).mean() > 0.99
