@@ -94,29 +94,45 @@ def main():
     )
     n_rays = cfg.width * cfg.height * cfg.spp * cfg.max_bounces
 
-    # --- forward ---
-    fwd = jax.jit(render_pt, static_argnames=("cfg",))
+    # --- forward: fused megakernel (the serving path) ---
+    from spath_tpu.models.pathtracer import render_pt_fast
+
+    def sync_scalar(x):
+        return float(jnp.sum(x.ravel()[:4]))
+
+    fwd = jax.jit(render_pt_fast, static_argnames=("cfg",))
     t = time.perf_counter()
-    fwd(scene, cam, cfg, 0).block_until_ready()
+    sync_scalar(fwd(scene, cam, cfg, 0))
     _log(f"fwd compile+first run: {time.perf_counter() - t:.1f}s")
-    dt = _time_best(lambda: fwd(scene, cam, cfg, 0).block_until_ready())
+    dt = _time_best(lambda: sync_scalar(fwd(scene, cam, cfg, 1)))
     fwd_rays = n_rays / dt
-    _log(f"fwd: {dt:.3f}s -> {fwd_rays:.3e} rays/s")
+    _log(f"fwd (megakernel): {dt:.3f}s -> {fwd_rays:.3e} rays/s")
+
+    # --- forward, general wavefront path (differentiable renderer) ---
+    fwd_wave = jax.jit(render_pt, static_argnames=("cfg",))
+    sync_scalar(fwd_wave(scene, cam, cfg, 0))
+    dt_w = _time_best(lambda: sync_scalar(fwd_wave(scene, cam, cfg, 1)))
+    _log(f"fwd (wavefront): {dt_w:.3f}s -> {n_rays / dt_w:.3e} rays/s")
 
     # --- forward+backward (gradients w.r.t. vertices + albedo) ---
     def loss(vertices, albedo, scene, cam):
         s = scene.__class__(vertices, albedo, scene.emission)
         return jnp.mean(render_radiance(s, cam, cfg, 0))
 
-    bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    # Reduce grads to one scalar inside jit: on the remote-TPU path
+    # block_until_ready can return before execution completes, so timing
+    # must fetch a value.
+    bwd = jax.jit(
+        lambda v, a, s, c: sum(
+            jnp.sum(g) for g in jax.grad(loss, argnums=(0, 1))(v, a, s, c)
+        )
+    )
     try:
         t = time.perf_counter()
-        jax.block_until_ready(bwd(scene.vertices, scene.albedo, scene, cam))
+        float(bwd(scene.vertices, scene.albedo, scene, cam))
         _log(f"fwd+bwd compile+first run: {time.perf_counter() - t:.1f}s")
         dt_b = _time_best(
-            lambda: jax.block_until_ready(
-                bwd(scene.vertices, scene.albedo, scene, cam)
-            ),
+            lambda: float(bwd(scene.vertices, scene.albedo, scene, cam)),
             n=2,
         )
         bwd_rays = n_rays / dt_b
@@ -130,9 +146,9 @@ def main():
         stress = procedural_scene(10_000, seed=0)
         scfg = cfg.replace(width=640, height=360, spp=4, intersect="pallas")
         sfwd = jax.jit(render_pt, static_argnames=("cfg",))
-        sfwd(stress, cam, scfg, 0).block_until_ready()
+        sync_scalar(sfwd(stress, cam, scfg, 0))
         dt_s = _time_best(
-            lambda: sfwd(stress, cam, scfg, 0).block_until_ready(), n=2
+            lambda: sync_scalar(sfwd(stress, cam, scfg, 0)), n=2
         )
         s_rays = scfg.width * scfg.height * scfg.spp * scfg.max_bounces / dt_s
         _log(f"stress 10k tris 640x360 spp4: {dt_s:.3f}s -> {s_rays:.3e} rays/s")

@@ -320,6 +320,24 @@ def _trace_compact_jit(scene, origins, directions, dist0, idx0, seed, cfg,
     )
 
 
+def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0):
+    """Fastest forward-only render (serving path).
+
+    Uses the fused whole-frame megakernel when the config supports it
+    (conformance estimator, small triangle count, TPU backend — 5× the
+    XLA wavefront at 1080p), otherwise the stream-compacted wavefront.
+    Not differentiable; use ``render_pt`` under ``jax.grad``.
+    """
+    from spath_tpu.ops.pallas import megakernel
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    if on_accel and megakernel.supported(scene, cfg):
+        rad = megakernel.render_radiance_megakernel(scene, camera, cfg, seed)
+    else:
+        rad = render_radiance_compact(scene, camera, cfg, seed)
+    return jnp.clip(rad, 0.0, 1.0)
+
+
 def _is_key(x) -> bool:
     try:
         return jnp.issubdtype(jnp.asarray(x).dtype, jax.dtypes.prng_key)

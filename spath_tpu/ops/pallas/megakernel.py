@@ -1,0 +1,257 @@
+"""Whole-frame conformance path tracer in ONE Pallas launch.
+
+Profiling shows the small-scene frame is launch-bound, not FLOP-bound:
+at 7 triangles a bounce pass is ~50 XLA fusions over 2M-ray arrays, and
+halving the data (stream compaction) barely moves wall-clock. The fix is
+structural: fuse the ENTIRE render — sample loop, 5-bounce walk,
+intersection, LCG, sampler, shading — into a single kernel so each ray
+tile stays resident in VMEM/registers from camera ray to final radiance.
+HBM traffic collapses to rays in (32 B/ray) + radiance out (12 B/pixel),
+once per frame.
+
+Layout: rays live on *lanes* — every per-ray quantity is a
+``(1, TILE_N)`` row vector, so all VPU ops run at full 128-lane width
+(a ``(TILE_N, k)`` layout would put components on lanes and waste
+127/128 of the machine). The triangle list is a small ``(T, 24)`` VMEM
+table walked with an unrolled scalar loop — the kernel targets the
+conformance/benchmark regime (T ≤ ``MAX_TRIS``); large scenes use the
+blocked Plücker kernels instead.
+
+Semantics: bit-compatible with the XLA conformance path — per-pixel LCG
+streams (``src/frand.h:59-62``) advanced only on hits, the reference's
+angle-uniform sampler (``src/geom.h:164-177``), Möller–Trumbore with
+ε bounds and source-index exclusion, forward-throughput radiance,
+first-hit hoisted out of the sample loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spath_tpu.config import EPSILON, MAX_DIST, RenderConfig
+
+_EPS = np.float32(EPSILON)
+_INV_EPS = np.float32(1.0 / EPSILON)
+_BIG = np.float32(MAX_DIST)
+_PI = np.float64(np.arccos(-1.0))
+
+TILE_N = 1024
+#: Above this the unrolled triangle walk bloats compile time; callers
+#: should fall back to the blocked kernels.
+MAX_TRIS = 16
+
+
+def _lcg(seed):
+    seed = jnp.uint32(214013) * seed + jnp.uint32(2531011)
+    bits = (seed >> jnp.uint32(16)) & jnp.uint32(0x7FFF)
+    # Mosaic has no u32→f32 cast; the 15-bit value roundtrips via i32.
+    u = bits.astype(jnp.int32).astype(jnp.float32) * np.float32(1.0 / 32767.0)
+    return seed, u
+
+
+def _nearest(ox, oy, oz, dx, dy, dz, src, tri, n_tris):
+    """Unrolled Möller–Trumbore scan over the VMEM triangle table.
+
+    All operands are (1, TILE_N) rows; triangle scalars broadcast.
+    Returns (best_d, best_i).
+    """
+    best_d = jnp.full_like(ox, _BIG)
+    best_i = jnp.full_like(src, -1)
+    for t in range(n_tris):
+        v0x, v0y, v0z = tri[t, 0], tri[t, 1], tri[t, 2]
+        e1x, e1y, e1z = tri[t, 3], tri[t, 4], tri[t, 5]
+        e2x, e2y, e2z = tri[t, 6], tri[t, 7], tri[t, 8]
+        # h = d × e2
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        nondeg = jnp.abs(a) >= _EPS
+        f = jnp.float32(1.0) / jnp.where(nondeg, a, jnp.float32(1.0))
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        dist = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (
+            nondeg
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (dist > _EPS) & (dist < _INV_EPS)
+            & (src != t)
+            & (dist < best_d)
+        )
+        best_d = jnp.where(ok, dist, best_d)
+        best_i = jnp.where(ok, t, best_i)
+    return best_d, best_i
+
+
+def _gather_cols(tri, best_i, cols, n_tris):
+    """Select per-triangle scalars by index via masked accumulation."""
+    outs = [jnp.zeros_like(best_i, dtype=jnp.float32) for _ in cols]
+    for t in range(n_tris):
+        m = best_i == t
+        for k, c in enumerate(cols):
+            outs[k] = jnp.where(m, tri[t, c], outs[k])
+    return outs
+
+
+def _megakernel(rays, seeds, tri, out, *, cfg: RenderConfig, n_tris: int):
+    ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx0, dy0, dz0 = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    src0 = jnp.full_like(ox0, -1.0).astype(jnp.int32)
+
+    # First hit: camera rays are identical for every sample.
+    fh_d, fh_i = _nearest(ox0, oy0, oz0, dx0, dy0, dz0, src0, tri, n_tris)
+
+    def sample_body(_, carry):
+        seed, acc_r, acc_g, acc_b = carry
+        ox, oy, oz = ox0, oy0, oz0
+        dx, dy, dz = dx0, dy0, dz0
+        src = src0
+        alive = jnp.ones_like(ox, dtype=jnp.bool_)
+        thr_r = jnp.ones_like(ox)
+        thr_g = jnp.ones_like(ox)
+        thr_b = jnp.ones_like(ox)
+        rad_r = jnp.zeros_like(ox)
+        rad_g = jnp.zeros_like(ox)
+        rad_b = jnp.zeros_like(ox)
+
+        for bounce in range(cfg.max_bounces):
+            if bounce == 0:
+                dist, idx = fh_d, fh_i
+            else:
+                dist, idx = _nearest(
+                    ox, oy, oz, dx, dy, dz, src, tri, n_tris
+                )
+            hit = alive & (idx >= 0)
+
+            nx, ny, nz, ar, ag, ab, er, eg, eb = _gather_cols(
+                tri, idx, (9, 10, 11, 12, 13, 14, 15, 16, 17), n_tris
+            )
+            flip = nx * dx + ny * dy + nz * dz > 0.0
+            nx = jnp.where(flip, -nx, nx)
+            ny = jnp.where(flip, -ny, ny)
+            nz = jnp.where(flip, -nz, nz)
+
+            # LCG draws; state advances only on hits (conformance).
+            s1, u1 = _lcg(seed)
+            s2, u2 = _lcg(s1)
+            seed = jnp.where(hit, s2, seed)
+
+            # angle-uniform sampler (src/geom.h:164-177)
+            az = u1 * np.float32(2.0 * _PI)
+            el = u2 * np.float32(0.5 * _PI)
+            fx = jnp.cos(el)
+            sx_ = jnp.cos(az) * fx
+            sy_ = jnp.sin(el)
+            sz_ = jnp.sin(az) * fx
+            aligned = nx * sx_ + ny * sy_ + nz * sz_ >= 0.0
+            sgn = jnp.where(aligned, 1.0, -1.0).astype(jnp.float32)
+            ndx, ndy, ndz = sx_ * sgn, sy_ * sgn, sz_ * sgn
+            cos_t = ndx * nx + ndy * ny + ndz * nz
+            w = jnp.float32(2.0) * cos_t
+
+            rad_r = rad_r + jnp.where(hit, thr_r * er, 0.0)
+            rad_g = rad_g + jnp.where(hit, thr_g * eg, 0.0)
+            rad_b = rad_b + jnp.where(hit, thr_b * eb, 0.0)
+            thr_r = jnp.where(hit, thr_r * ar * w, thr_r)
+            thr_g = jnp.where(hit, thr_g * ag * w, thr_g)
+            thr_b = jnp.where(hit, thr_b * ab * w, thr_b)
+
+            ox = jnp.where(hit, ox + dist * dx, ox)
+            oy = jnp.where(hit, oy + dist * dy, oy)
+            oz = jnp.where(hit, oz + dist * dz, oz)
+            dx = jnp.where(hit, ndx, dx)
+            dy = jnp.where(hit, ndy, dy)
+            dz = jnp.where(hit, ndz, dz)
+            src = jnp.where(hit, idx, src)
+            alive = hit
+
+        return (seed, acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
+
+    seed0 = seeds[0:1, :]
+    zeros = jnp.zeros_like(ox0)
+    _, acc_r, acc_g, acc_b = lax.fori_loop(
+        0, cfg.spp, sample_body, (seed0, zeros, zeros, zeros)
+    )
+    inv = np.float32(1.0) / np.float32(cfg.spp)
+    out[0:1, :] = acc_r * inv
+    out[1:2, :] = acc_g * inv
+    out[2:3, :] = acc_b * inv
+    out[3:4, :] = jnp.zeros_like(acc_r)  # padding row of the (4, N) block
+
+
+def _scene_table(scene):
+    """(T, 24) table: v0(3), e1(3), e2(3), n(3), albedo(3), emission(3),
+    pad(6)."""
+    v0 = scene.v0
+    e1 = scene.v1 - v0
+    e2 = scene.v2 - v0
+    n = scene.normals()
+    pad = jnp.zeros((v0.shape[0], 6), jnp.float32)
+    return jnp.concatenate(
+        [v0, e1, e2, n, scene.albedo, scene.emission, pad], axis=1
+    )
+
+
+def supported(scene, cfg: RenderConfig) -> bool:
+    return (
+        scene.n_tris <= MAX_TRIS
+        and cfg.rng == "lcg"
+        and cfg.sampler == "angle"
+        and not cfg.nee
+    )
+
+
+def render_radiance_megakernel(scene, camera, cfg: RenderConfig, seed=0):
+    """Unclamped mean radiance ``(H, W, 3)`` via the fused kernel.
+
+    Forward-only (no gradient rule); conformance estimator only — see
+    ``supported``.
+    """
+    from spath_tpu.camera import generate_rays
+
+    if not supported(scene, cfg):
+        raise ValueError("megakernel supports lcg+angle, T <= MAX_TRIS")
+
+    o, d = generate_rays(camera, cfg.width, cfg.height)
+    n = o.shape[0]
+    pad = (-n) % TILE_N
+    o = jnp.pad(o, ((0, pad), (0, 0)))
+    d = jnp.pad(d, ((0, pad), (0, 0)))
+    rays = jnp.concatenate([o.T, d.T, jnp.zeros((2, n + pad))], axis=0)
+    rays = rays.astype(jnp.float32)  # (8, Np)
+    seeds = (
+        jnp.arange(n + pad, dtype=jnp.uint32)[None, :] + jnp.uint32(seed)
+    )
+    tri = _scene_table(scene)
+    np_ = n + pad
+
+    kernel = functools.partial(
+        _megakernel, cfg=cfg, n_tris=scene.n_tris
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // TILE_N,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri table: scalar reads
+        ],
+        out_specs=pl.BlockSpec((4, TILE_N), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
+    )(rays, seeds, tri)
+    return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

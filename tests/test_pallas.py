@@ -100,3 +100,34 @@ def test_pallas_in_render(scene7):
         )
     mismatch = (got != want).any(-1).mean()
     assert mismatch < 0.01, f"{mismatch:.3%} pixels differ"
+
+
+def test_megakernel_matches_wavefront(scene7):
+    """Whole-frame fused kernel (interpret mode) vs the XLA wavefront:
+    same LCG streams, same estimator."""
+    from spath_tpu.camera import Camera
+    from spath_tpu.config import RenderConfig
+    from spath_tpu.models.pathtracer import render_radiance
+    from spath_tpu.ops.pallas.megakernel import render_radiance_megakernel
+
+    cfg = RenderConfig(width=48, height=32, spp=3, rng="lcg",
+                       sampler="angle")
+    cam = Camera.default()
+    want = np.asarray(render_radiance(scene7, cam, cfg, seed=0))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(render_radiance_megakernel(scene7, cam, cfg, 0))
+    flipped = (np.abs(got - want) > 1e-4).any(-1)
+    assert flipped.mean() < 0.01, f"{flipped.mean():.4f} flipped"
+    # A few trig-ulp path flips at tiny spp shift the raw mean a couple
+    # of percent; the per-pixel bound above is the real check.
+    np.testing.assert_allclose(got.mean(), want.mean(), rtol=5e-2)
+
+
+def test_megakernel_guardrails(scene7):
+    from spath_tpu.config import RenderConfig
+    from spath_tpu.ops.pallas.megakernel import supported
+    from spath_tpu.scene import procedural_scene
+
+    assert supported(scene7, RenderConfig(rng="lcg", sampler="angle"))
+    assert not supported(scene7, RenderConfig(rng="threefry"))
+    assert not supported(procedural_scene(100), RenderConfig())

@@ -132,3 +132,15 @@ def test_sharded_gradients_match():
     g1 = np.asarray(jax.grad(loss_single)(scene.albedo))
     g2 = np.asarray(jax.grad(loss_sharded)(scene.albedo))
     np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-5)
+
+
+def test_scaling_efficiency_machinery(scene7):
+    """Smoke-test the BASELINE config-5 scaling harness on the fake CPU
+    mesh (the ≥85% claim is a hardware measurement, not asserted here —
+    fake devices share host cores)."""
+    from spath_tpu.parallel.multihost import scaling_efficiency
+
+    cfg = RenderConfig(width=32, height=16, spp=2)
+    eff, t1, tn = scaling_efficiency(scene7, Camera.default(), cfg, 4,
+                                     reps=1)
+    assert t1 > 0 and tn > 0 and eff > 0
