@@ -100,6 +100,75 @@ def param_group_optimizer(
     )
 
 
+def stack_cameras(cameras) -> Camera:
+    """Stack a list of Cameras into one batched Camera pytree."""
+    return Camera(
+        pos=jnp.stack([c.pos for c in cameras]),
+        angle=jnp.stack([c.angle for c in cameras]),
+        focal=jnp.stack([jnp.asarray(c.focal) for c in cameras]),
+    )
+
+
+def multiview_render_loss(
+    params: InverseParams,
+    base_scene: Scene,
+    cameras: Camera,
+    targets: jax.Array,
+    cfg: RenderConfig,
+    seed,
+) -> jax.Array:
+    """Mean MSE across V known views (``cameras``/``targets`` batched on
+    the leading axis).
+
+    Multiple views are what make scene-parameter recovery well-posed:
+    a single frontal view confounds e.g. camera distance with focal
+    length (see test_inverse.py) and leaves unseen faces unconstrained.
+    The camera parameters in ``params`` are ignored here — the views'
+    poses are the knowns.
+    """
+    scene = dataclasses.replace(
+        base_scene, albedo=jnp.clip(params.albedo, 0.0, 1.0)
+    )
+    n_views = targets.shape[0]
+
+    def one(pos, angle, focal, target, s):
+        cam = Camera(pos=pos, angle=angle, focal=focal)
+        img = render_radiance(scene, cam, cfg, s)
+        return jnp.mean((img - target) ** 2)
+
+    seeds = jnp.asarray(seed) + jnp.arange(n_views)
+    losses = jax.vmap(one)(
+        cameras.pos, cameras.angle, cameras.focal, targets, seeds
+    )
+    return jnp.mean(losses)
+
+
+def make_multiview_train_step(
+    optimizer: optax.GradientTransformation,
+    base_scene: Scene,
+    cameras: Camera,
+    cfg: RenderConfig,
+    fixed_seed: int | None = None,
+):
+    """Jitted multi-view train step (same TrainState machinery)."""
+
+    def step_fn(state: TrainState, targets: jax.Array):
+        seed = state.step if fixed_seed is None else fixed_seed
+        loss, grads = jax.value_and_grad(multiview_render_loss)(
+            state.params, base_scene, cameras, targets, cfg, seed
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        from spath_tpu.utils.logging import global_norm
+
+        aux = {"loss": loss, "grad_norm": global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1), aux
+
+    return jax.jit(step_fn)
+
+
 class TrainState(NamedTuple):
     params: InverseParams
     opt_state: Any
@@ -162,11 +231,19 @@ def recover(
     log_every: int = 20,
     log_fn=print,
     metrics_path: str | None = None,
+    max_retries: int = 0,
 ):
     """Full optimization loop with optional orbax checkpoint/resume.
 
     Returns ``(state, losses)``. If ``checkpoint_dir`` holds a previous
     run, resumes from its latest step.
+
+    ``max_retries``: elastic recovery — if a step raises (device loss,
+    preemption), roll back to the last checkpoint and continue, up to
+    this many times. Requires ``checkpoint_dir``. (The reference's
+    failure handling is a top-level try/catch that exits,
+    ``src/main.cpp:263-267``; checkpointed restart is the distributed
+    -training equivalent.)
 
     ``optimizer`` overrides the default Adam — e.g. an
     ``optax.multi_transform`` with per-group learning rates. Pose and
@@ -195,19 +272,37 @@ def recover(
 
         metrics = JsonlLogger(metrics_path)
 
+    if max_retries and ckpt is None:
+        raise ValueError("max_retries requires checkpoint_dir")
+
     train_step = make_train_step(optimizer, base_scene, cfg, mesh, fixed_seed)
     losses = []
-    start = int(state.step)
-    for i in range(start, steps):
-        state, aux = train_step(state, target)
+    retries_left = max_retries
+    i = int(state.step)
+    while i < steps:
+        try:
+            state, aux = train_step(state, target)
+        except Exception:  # noqa: BLE001 — elastic recovery boundary
+            if retries_left <= 0:
+                raise
+            retries_left -= 1
+            restored = ckpt.restore_latest(init_state(optimizer, init_params))
+            state = restored if restored is not None else init_state(
+                optimizer, init_params
+            )
+            i = int(state.step)
+            log_fn(f"step failed; rolled back to step {i} "
+                   f"({retries_left} retries left)")
+            continue
+        i = int(state.step)
         loss = float(aux["loss"])
         losses.append(loss)
         if metrics is not None:
-            metrics.log("train_step", step=i, loss=loss,
+            metrics.log("train_step", step=i - 1, loss=loss,
                         grad_norm=float(aux["grad_norm"]))
-        if log_every and (i % log_every == 0 or i == steps - 1):
-            log_fn(f"step {i}: loss {loss:.6f}")
-        if ckpt is not None and ((i + 1) % checkpoint_every == 0):
+        if log_every and ((i - 1) % log_every == 0 or i == steps):
+            log_fn(f"step {i - 1}: loss {loss:.6f}")
+        if ckpt is not None and (i % checkpoint_every == 0):
             ckpt.save(int(state.step), state)
     if ckpt is not None:
         ckpt.save(int(state.step), state)

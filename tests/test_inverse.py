@@ -139,3 +139,86 @@ def test_recover_resumes_from_checkpoint(tmp_path, scene7):
     )
     assert int(state2.step) == 6
     assert len(losses2) == 2  # only the remaining steps ran
+
+
+def test_multiview_albedo_recovery(scene7):
+    """Three known views constrain albedo recovery better than one."""
+    import jax.numpy as jnp
+    from spath_tpu.models.inverse import (
+        init_state,
+        make_multiview_train_step,
+        multiview_render_loss,
+        stack_cameras,
+    )
+    from spath_tpu.models.pathtracer import render_radiance
+
+    cams = [
+        Camera.default(),
+        Camera.default().move_relative(
+            jnp.asarray([0.5, 0.0, 0.3], jnp.float32)
+        ).rotate_by(jnp.asarray([0.0, -0.25, 0.0], jnp.float32)),
+        Camera.default().move_relative(
+            jnp.asarray([-0.5, 0.2, 0.3], jnp.float32)
+        ).rotate_by(jnp.asarray([0.05, 0.25, 0.0], jnp.float32)),
+    ]
+    cfg = dataclasses.replace(CFG, width=24, height=18)
+    targets = jnp.stack([
+        render_radiance(scene7, c, cfg, seed=100 + i)
+        for i, c in enumerate(cams)
+    ])
+    batch = stack_cameras(cams)
+
+    true_albedo = np.asarray(scene7.albedo)
+    bad = true_albedo.copy()
+    bad[0] = [0.2, 0.6, 0.9]
+    bad[5] = bad[6] = [0.3, 0.9, 0.2]
+    params = InverseParams(
+        cam_pos=cams[0].pos, cam_angle=cams[0].angle,
+        cam_focal=cams[0].focal, albedo=jnp.asarray(bad),
+    )
+    opt = param_group_optimizer(freeze_pose=True, albedo_lr=3e-2)
+    state = init_state(opt, params)
+    step = make_multiview_train_step(opt, scene7, batch, cfg,
+                                     fixed_seed=100)
+    for _ in range(40):
+        state, aux = step(state, targets)
+    got = np.asarray(state.params.albedo)
+    err0 = np.abs(bad[[0, 5, 6]] - true_albedo[[0, 5, 6]]).mean()
+    err1 = np.abs(got[[0, 5, 6]] - true_albedo[[0, 5, 6]]).mean()
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_elastic_recovery_from_injected_failure(tmp_path, scene7,
+                                                monkeypatch):
+    """A step that raises mid-run rolls back to the last checkpoint and
+    the loop completes (SURVEY §5 failure-detection parity: process
+    restart + checkpointed state)."""
+    import spath_tpu.models.inverse as inv
+
+    cam = Camera.default()
+    target = _target(scene7, cam)
+    params = InverseParams.init(scene7, cam)
+    ckdir = str(tmp_path / "ck")
+
+    real_make = inv.make_train_step
+    calls = {"n": 0}
+
+    def flaky_make(*args, **kw):
+        real_step = real_make(*args, **kw)
+
+        def step(state, target):
+            calls["n"] += 1
+            if calls["n"] == 4:
+                raise RuntimeError("injected device loss")
+            return real_step(state, target)
+
+        return step
+
+    monkeypatch.setattr(inv, "make_train_step", flaky_make)
+    state, losses = inv.recover(
+        scene7, target, params, CFG, steps=6, learning_rate=1e-2,
+        checkpoint_dir=ckdir, checkpoint_every=2, log_every=0,
+        max_retries=2,
+    )
+    assert int(state.step) == 6
+    assert calls["n"] >= 7  # 6 successful + 1 failed attempt
