@@ -144,3 +144,32 @@ def test_scaling_efficiency_machinery(scene7):
     eff, t1, tn = scaling_efficiency(scene7, Camera.default(), cfg, 4,
                                      reps=1)
     assert t1 > 0 and tn > 0 and eff > 0
+
+
+def test_ring_full_path_trace_matches_replicated(scene7):
+    """Triangle-sharded PT (intersection + attribute ring) reproduces
+    the replicated render — same LCG streams, sharded everything."""
+    from spath_tpu.parallel.ring import render_pt_ring
+
+    cfg = RenderConfig(width=40, height=24, spp=2)
+    cam = Camera.default()
+    want = np.asarray(render_pt(scene7, cam, cfg, seed=0))
+    got = np.asarray(
+        render_pt_ring(scene7, cam, cfg, make_mesh(8, axis="shard"), seed=0)
+    )
+    _assert_images_match(got, want)
+
+
+def test_ring_full_pt_procedural_threefry():
+    from spath_tpu.scene import procedural_scene
+    from spath_tpu.parallel.ring import render_pt_ring
+
+    scene = procedural_scene(160, seed=4)
+    cfg = RenderConfig(width=24, height=16, spp=2, rng="threefry",
+                       sampler="cosine", tri_block=64)
+    cam = Camera.default()
+    want = np.asarray(render_pt(scene, cam, cfg, seed=1))
+    got = np.asarray(
+        render_pt_ring(scene, cam, cfg, make_mesh(8, axis="shard"), seed=1)
+    )
+    _assert_images_match(got, want)
