@@ -45,6 +45,8 @@ argmin itself).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -203,24 +205,76 @@ def nearest_hit(
       src_idx: ``(N,)`` int32 source-triangle index to exclude (-1 = none),
         the reference's self-hit avoidance (``src/cpu_renderer.cpp:40-41``).
       cfg: optional RenderConfig supplying method/tri_block defaults.
-      method: "reference" | "pluecker" | "pallas".
+      method: "reference" | "pluecker" | "pallas" | "pallas_fast".
       tri_block: triangle chunk size for the scan.
 
     Returns:
       ``(dist, idx)``: ``(N,)`` float32 hit distances (``MAX_DIST`` on
       miss) and ``(N,)`` int32 triangle indices (``-1`` on miss). The hit
       point is ``o + dist[:, None] * d`` (``src/geom.h:218``).
+
+    Gradients: a custom VJP shared by every method. The argmin is a
+    detached (straight-through) selector, and the backward pass is the
+    O(N) analytic derivative of the SELECTED triangle's distance — the
+    autodiff transpose of the O(N·T) sweep computes exactly the same
+    cotangents (``min`` routes the cotangent to the argmin element) at
+    ~T× the cost.
     """
     method = method or (cfg.intersect if cfg else "reference")
     block = tri_block or (cfg.tri_block if cfg else 512)
     src_idx = src_idx.astype(jnp.int32)
+    return _nearest_hit_vjp(o, d, v0, v1, v2, src_idx, method, block)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _nearest_hit_vjp(o, d, v0, v1, v2, src_idx, method, block):
+    return _nearest_hit_fwd_impl(o, d, v0, v1, v2, src_idx, method, block)
+
+
+def _dist_selected(o, d, v0, v1, v2, idx):
+    """Differentiable Möller–Trumbore distance of each ray to its
+    selected triangle — the O(N) backward path."""
+    safe = jnp.maximum(idx, 0)
+    a0 = v0[safe]
+    e1 = v1[safe] - a0
+    e2 = v2[safe] - a0
+    h = jnp.cross(d, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = jnp.float32(1.0) / jnp.where(jnp.abs(a) > 0.0, a, jnp.float32(1.0))
+    s = o - a0
+    q = jnp.cross(s, e1)
+    dist = f * jnp.sum(e2 * q, axis=-1)
+    return jnp.where(idx >= 0, dist, _BIG)
+
+
+def _vjp_fwd(o, d, v0, v1, v2, src_idx, method, block):
+    dist, idx = _nearest_hit_fwd_impl(o, d, v0, v1, v2, src_idx, method,
+                                      block)
+    return (dist, idx), (o, d, v0, v1, v2, idx)
+
+
+def _vjp_bwd(method, block, res, cotangents):
+    o, d, v0, v1, v2, idx = res
+    d_bar, _ = cotangents
+    _, vjp = jax.vjp(
+        lambda o_, d_, a_, b_, c_: _dist_selected(o_, d_, a_, b_, c_, idx),
+        o, d, v0, v1, v2,
+    )
+    go, gd, g0, g1, g2 = vjp(d_bar)
+    return go, gd, g0, g1, g2, None
+
+
+_nearest_hit_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _nearest_hit_fwd_impl(o, d, v0, v1, v2, src_idx, method, block):
     t = v0.shape[0]
 
     if method in ("pallas", "pallas_fast"):
         from spath_tpu.ops.pallas.intersect_pallas import nearest_hit_pallas
 
         return nearest_hit_pallas(
-            o, d, v0, v1, v2, src_idx, cfg, fast=(method == "pallas_fast")
+            o, d, v0, v1, v2, src_idx, fast=(method == "pallas_fast")
         )
 
     if t <= block:

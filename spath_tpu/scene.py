@@ -65,7 +65,12 @@ class Scene:
         e1 = self.v1 - self.v0
         e2 = self.v2 - self.v0
         n = jnp.cross(e1, e2)
-        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        # Guard degenerate (zero-area) triangles: they can never be hit
+        # (Möller–Trumbore rejects |a| < ε) but a 0/0 here would poison
+        # gradients through the gather.
+        return n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30
+        )
 
 
 def make_scene(vertices, albedo, emission) -> Scene:
