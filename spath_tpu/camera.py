@@ -117,3 +117,20 @@ def generate_rays(camera: Camera, width: int, height: int):
     origins = camera.rotate(plane) + camera.pos
     directions = camera.rotate(d)
     return origins.reshape(-1, 3), directions.reshape(-1, 3)
+
+
+def format_viewport(origins, directions, width: int, height: int) -> str:
+    """Debug dump of the ray buffer — ``view::viewport::print``
+    (``src/view.h:33-43``): per pixel ``[pos](dir)`` rows, row-major."""
+    import numpy as np
+
+    o = np.asarray(origins).reshape(height, width, 3)
+    d = np.asarray(directions).reshape(height, width, 3)
+    lines = []
+    for j in range(height):
+        cells = [
+            "[%g,%g,%g](%g,%g,%g)" % (*o[j, i], *d[j, i])
+            for i in range(width)
+        ]
+        lines.append("\t".join(cells))
+    return "\n".join(lines) + "\n"

@@ -74,6 +74,37 @@ def threefry_uniform(key: jax.Array, shape, lo=0.0, hi=1.0):
     return jax.random.uniform(key, shape, jnp.float32, lo, hi)
 
 
+class TableRng:
+    """The reference's ``vec_dist`` debug RNG (``src/frand.h:32-50``):
+    ``max_values + 1`` evenly spaced values in [0, 1], shuffled once,
+    then cycled. A deterministic low-discrepancy-ish stream the
+    reference swapped in while debugging (``src/cpu_renderer.cpp:146``);
+    provided for the same purpose (host-side debugging of samplers and
+    the oracle — not a device RNG mode).
+
+    The reference shuffles with ``std::random_shuffle`` (removed in
+    C++17, unspecified engine); we use a seeded NumPy shuffle — the
+    *structure* (fixed table, cycling cursor) is the reproduced
+    semantic, not the exact permutation.
+    """
+
+    def __init__(self, max_values: int, seed: int = 0):
+        import numpy as _np
+
+        step = 1.0 / max_values
+        vals = _np.arange(max_values + 1) * step
+        vals[-1] = 1.0
+        rng = _np.random.Generator(_np.random.Philox(seed))
+        rng.shuffle(vals)
+        self._values = vals
+        self._next = 0
+
+    def __call__(self) -> float:
+        v = self._values[self._next]
+        self._next = (self._next + 1) % len(self._values)
+        return float(v)
+
+
 def per_pixel_uniforms(key: jax.Array, pixel_ids: jax.Array, n_draws: int):
     """Counter-based threefry uniforms keyed per pixel.
 

@@ -6,6 +6,7 @@ kernels (``src/render.cl:150-153``, ``src/render.comp:135-138``).
 """
 
 import numpy as np
+import pytest
 
 from spath_tpu.ops.rng import lcg_next, lcg_uniform, pixel_seeds
 from spath_tpu.utils import oracle
@@ -52,3 +53,25 @@ def test_oracle_lcg_matches():
     want0, _ = _c_lcg_sequence(7, 1)
     want1, _ = _c_lcg_sequence(13, 1)
     np.testing.assert_allclose(u, [want0[0], want1[0]], rtol=0, atol=0)
+
+
+def test_table_rng_cycles():
+    """vec_dist semantics (src/frand.h:32-50): fixed shuffled table of
+    max_values+1 evenly spaced values, cycled."""
+    from spath_tpu.ops.rng import TableRng
+
+    r = TableRng(10, seed=3)
+    first = [r() for _ in range(11)]
+    second = [r() for _ in range(11)]
+    assert first == second                 # cycles exactly
+    assert sorted(first) == pytest.approx(
+        [i / 10 for i in range(10)] + [1.0]
+    )
+
+
+def test_format_viewport():
+    from spath_tpu.camera import Camera, format_viewport, generate_rays
+
+    o, d = generate_rays(Camera.default(), 2, 2)
+    s = format_viewport(o, d, 2, 2)
+    assert s.count("\n") == 2 and s.count("](") == 4
