@@ -78,6 +78,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the big wavefront/megakernel programs
+    # take minutes to compile cold; cache them next to the repo so
+    # repeated bench runs (and the driver) start hot.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from spath_tpu.camera import Camera
     from spath_tpu.config import RenderConfig
     from spath_tpu.models.pathtracer import render_pt, render_radiance

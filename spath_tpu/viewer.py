@@ -50,8 +50,11 @@ class ViewerState:
         self.path_tracing = False   # start in flat view (src/main.cpp:53)
         self.backend = "jax"
         self.seed = 0
+        from spath_tpu.models.pathtracer import render_pt_fast
+
         self._jit_flat = jax.jit(render_flat, static_argnames=("cfg",))
         self._jit_pt = jax.jit(render_pt, static_argnames=("cfg",))
+        self._jit_fast = jax.jit(render_pt_fast, static_argnames=("cfg",))
 
     # --- key handlers (reference bindings) ---
 
@@ -117,9 +120,23 @@ class ViewerState:
                 )
         else:
             if self.path_tracing:
-                img = np.asarray(
-                    self._jit_pt(self.scene, self.camera, self.cfg, self.seed)
-                )
+                from spath_tpu.ops.pallas.megakernel import supported
+
+                if (jax.devices()[0].platform != "cpu"
+                        and supported(self.scene, self.cfg)):
+                    # Fused megakernel: ~5x the wavefront for interactive
+                    # conformance-mode viewing on TPU.
+                    from spath_tpu.models.pathtracer import render_pt_fast
+
+                    img = np.asarray(
+                        self._jit_fast(self.scene, self.camera, self.cfg,
+                                       self.seed)
+                    )
+                else:
+                    img = np.asarray(
+                        self._jit_pt(self.scene, self.camera, self.cfg,
+                                     self.seed)
+                    )
             else:
                 img = np.asarray(
                     self._jit_flat(self.scene, self.camera, self.cfg)
