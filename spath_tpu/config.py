@@ -54,6 +54,10 @@ class RenderConfig:
         of smooth (reparameterized) camera/vertex gradients. Requires
         rng="threefry" (the conformance LCG stream layout has no slot
         for the extra draws).
+      mis: with nee, combine the light sample and the BSDF-sampled
+        emitter hits by the power heuristic (β=2) instead of dropping
+        the latter — robust when lights are large or close, where BSDF
+        sampling is the better strategy. Ignored without nee.
       remat: rematerialize each sample's trace in the backward pass
         (``jax.checkpoint`` on the sample-scan body). Essential at high
         spp: without it every sample's per-bounce residuals live until
@@ -75,6 +79,7 @@ class RenderConfig:
         "reference", "pluecker", "pallas", "pallas_fast"
     ] = "reference"
     nee: bool = False
+    mis: bool = True
     remat: bool = True
     tri_block: int = 512
     ray_tile: int = 2048

@@ -109,6 +109,16 @@ def trace_radiance(
         pixel_ids = jnp.arange(n, dtype=jnp.uint32)
     v0, v1, v2 = scene.v0, scene.v1, scene.v2
     normals = scene.normals()
+    # MIS needs a well-defined solid-angle BSDF pdf; the reference's
+    # angle-uniform sampler deliberately mismatches its 1/(2π) weight,
+    # so NEE with that sampler stays pure-NEE.
+    use_mis = cfg.nee and cfg.mis and cfg.sampler != "angle"
+    if use_mis:
+        from spath_tpu.ops.nee import light_cdf, triangle_areas
+
+        _, lprob = light_cdf(scene)                      # detached
+        lareas = lax.stop_gradient(triangle_areas(scene))
+        prev_pdf = jnp.zeros(n, jnp.float32)
 
     o, d = origins, directions
     throughput = jnp.ones((n, 3), jnp.float32)
@@ -129,9 +139,16 @@ def trace_radiance(
 
         # One fused one-hot/MXU gather for all per-triangle attributes
         # (a plain per-attribute gather is ~10x slower on TPU).
-        nrm, alb, emi = fused_row_gather(
-            (normals, scene.albedo, scene.emission), safe
-        )
+        if use_mis:
+            nrm, alb, emi, extra = fused_row_gather(
+                (normals, scene.albedo, scene.emission,
+                 jnp.stack([lprob, lareas], axis=1)), safe
+            )
+            hit_prob, hit_area = extra[:, 0], extra[:, 1]
+        else:
+            nrm, alb, emi = fused_row_gather(
+                (normals, scene.albedo, scene.emission), safe
+            )
         flip = jnp.sum(nrm * d, axis=-1) > 0.0   # src/cpu_renderer.cpp:56
         adj_n = jnp.where(flip[:, None], -nrm, nrm)
 
@@ -149,10 +166,23 @@ def trace_radiance(
             weight = jnp.float32(2.0) * cos_theta
 
         if cfg.nee:
-            # Emission only on direct camera-ray hits; every path vertex's
-            # direct light comes from the reparameterized area sample.
+            # Camera-ray emitter hits count fully; deeper BSDF-sampled
+            # emitter hits either carry the MIS partner weight or (pure
+            # NEE) are dropped — the area sample covers direct light.
             if bounce == 0:
                 radiance = radiance + jnp.where(hit3, throughput * emi, 0.0)
+            elif use_mis:
+                from spath_tpu.ops.nee import nee_pdf_of_hit
+
+                cos_l = jnp.abs(jnp.sum(nrm * d, axis=-1))
+                p_nee_here = nee_pdf_of_hit(hit_prob, hit_area, dist, cos_l)
+                w_b = prev_pdf * prev_pdf / jnp.maximum(
+                    prev_pdf * prev_pdf + p_nee_here * p_nee_here, 1e-30
+                )
+                w_b = lax.stop_gradient(w_b)
+                radiance = radiance + jnp.where(
+                    hit3, throughput * emi * w_b[:, None], 0.0
+                )
             direct = direct_light(
                 scene, point, adj_n, safe, us[2], us[3], us[4], cfg,
                 hit_albedo=alb,
@@ -168,6 +198,11 @@ def trace_radiance(
         d = jnp.where(hit3, next_d, d)
         src = jnp.where(hit, idx, src)
         alive = hit
+        if use_mis:
+            from spath_tpu.ops.nee import bsdf_pdf
+
+            cos_next = jnp.sum(next_d * adj_n, axis=-1)
+            prev_pdf = lax.stop_gradient(bsdf_pdf(cfg.sampler, cos_next))
         if return_aux:
             alive_fracs.append(jnp.mean(alive.astype(jnp.float32)))
 

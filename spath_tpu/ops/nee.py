@@ -135,6 +135,10 @@ def direct_light(
     reference's source-exclusion convention). ``hit_albedo`` lets the
     caller pass the already-gathered surface albedo to avoid a second
     gather.
+
+    With ``cfg.mis`` the contribution carries the power-heuristic weight
+    against the BSDF strategy's pdf for the same direction (the partner
+    weight is applied to BSDF-sampled emitter hits in the path tracer).
     """
     s = sample_light_points(scene, u_sel, u1, u2)
     delta = s["y"] - p
@@ -168,4 +172,46 @@ def direct_light(
     if hit_albedo is None:
         hit_albedo = scene.albedo[jnp.maximum(hit_idx, 0)]
     contrib = hit_albedo * INV_PI * s["emission"] * (g * weight)[:, None]
+
+    if cfg.mis and cfg.sampler != "angle":
+        # (the angle sampler's pdf/weight mismatch is a reference quirk;
+        # NEE with it stays pure-NEE — matches the path tracer's gate)
+        # Power heuristic (β=2) vs the BSDF strategy's solid-angle pdf
+        # for this same direction. Weights are detached — they are
+        # combination coefficients, not part of the integrand. r² is
+        # clamped: dead lanes sit at ~MAX_DIST offsets whose pdf² would
+        # overflow to inf and NaN-poison the where-transpose.
+        p_nee = (
+            s["prob"] / jnp.maximum(s["area"], 1e-20)
+        ) * jnp.minimum(r2, 1e12) / jnp.maximum(cos_l, 1e-6)
+        p_bsdf = bsdf_pdf(cfg.sampler, cos_s)
+        w = p_nee * p_nee / jnp.maximum(
+            p_nee * p_nee + p_bsdf * p_bsdf, 1e-30
+        )
+        contrib = contrib * lax.stop_gradient(w)[:, None]
     return jnp.where(valid[:, None], contrib, 0.0)
+
+
+def bsdf_pdf(sampler: str, cos_theta: jax.Array) -> jax.Array:
+    """Solid-angle pdf of the hemisphere sampler at angle cosθ from the
+    shading normal (for MIS weights)."""
+    if sampler == "cosine":
+        return jnp.maximum(cos_theta, 0.0) * INV_PI
+    if sampler == "uniform":
+        return jnp.full_like(cos_theta, np.float32(0.5 / np.pi))
+    raise ValueError(f"MIS unsupported for sampler {sampler!r}")
+
+
+def nee_pdf_of_hit(prob, area, dist, cos_l) -> jax.Array:
+    """Solid-angle pdf the NEE strategy would have assigned to hitting
+    this emitter point via BSDF sampling: (q/A)·r²/|cosθ_l|.
+
+    ``dist`` is clamped: miss lanes carry MAX_DIST=1e12 whose square
+    overflows float32 to inf, and an inf/inf in the (masked) MIS weight
+    would poison gradients through the where-transpose even though the
+    forward value is discarded.
+    """
+    d = jnp.minimum(dist, 1e6)
+    return (
+        prob / jnp.maximum(area, 1e-20)
+    ) * d * d / jnp.maximum(cos_l, 1e-6)

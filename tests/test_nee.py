@@ -145,3 +145,42 @@ def test_nee_requires_threefry(scene7):
             scene7, Camera.default(),
             RenderConfig(width=8, height=8, spp=1, rng="lcg", nee=True),
         )
+
+
+def test_mis_unbiased_vs_pure_strategies(scene7):
+    """MIS combines the two unbiased strategies — all three estimators
+    must agree in expectation."""
+    cam = Camera.default()
+    base = RenderConfig(width=32, height=24, spp=128, rng="threefry",
+                        sampler="cosine")
+    mis = np.asarray(render_radiance(
+        scene7, cam, base.replace(nee=True, mis=True), seed=3))
+    pure_nee = np.asarray(render_radiance(
+        scene7, cam, base.replace(nee=True, mis=False), seed=4))
+    bsdf = np.asarray(render_radiance(
+        scene7, cam, base.replace(nee=False), seed=5))
+    np.testing.assert_allclose(mis.mean(), pure_nee.mean(), rtol=0.06)
+    np.testing.assert_allclose(mis.mean(), bsdf.mean(), rtol=0.08)
+
+
+def test_mis_beats_bsdf_variance_with_close_light(scene7):
+    """Large/close lights are where BSDF sampling shines and pure NEE's
+    r² term explodes; MIS must track the better strategy. Move the
+    camera right under the ceiling light."""
+    import jax.numpy as jnp
+
+    cam = Camera.default().move_relative(
+        jnp.asarray([0.0, 0.5, 2.5], jnp.float32))
+    base = RenderConfig(width=24, height=18, spp=4, rng="threefry",
+                        sampler="cosine")
+
+    def var(cfg):
+        imgs = [np.asarray(render_radiance(scene7, cam, cfg, seed=s))
+                for s in range(6)]
+        return np.var(np.stack(imgs), axis=0).mean()
+
+    v_mis = var(base.replace(nee=True, mis=True))
+    v_nee = var(base.replace(nee=True, mis=False))
+    v_bsdf = var(base.replace(nee=False))
+    # MIS should not be much worse than the best pure strategy.
+    assert v_mis < 1.5 * min(v_nee, v_bsdf), (v_mis, v_nee, v_bsdf)
