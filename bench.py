@@ -122,31 +122,41 @@ def main():
     _log(f"fwd (wavefront): {dt_w:.3f}s -> {n_rays / dt_w:.3e} rays/s")
 
     # --- forward+backward (gradients w.r.t. vertices + albedo) ---
-    def loss(vertices, albedo, scene, cam):
-        s = scene.__class__(vertices, albedo, scene.emission)
-        return jnp.mean(render_radiance(s, cam, cfg, 0))
+    from spath_tpu.models.pathtracer import render_radiance_fastgrad
 
-    # Reduce grads to one scalar inside jit: on the remote-TPU path
-    # block_until_ready can return before execution completes, so timing
-    # must fetch a value.
-    bwd = jax.jit(
-        lambda v, a, s, c: sum(
-            jnp.sum(g) for g in jax.grad(loss, argnums=(0, 1))(v, a, s, c)
+    def make_bwd(render_fn):
+        def loss(vertices, albedo, scene, cam):
+            s = scene.__class__(vertices, albedo, scene.emission)
+            return jnp.mean(render_fn(s, cam, cfg, 0))
+
+        # Reduce grads to one scalar inside jit: on the remote-TPU path
+        # block_until_ready can return before execution completes, so
+        # timing must fetch a value.
+        return jax.jit(
+            lambda v, a, s, c: sum(
+                jnp.sum(g)
+                for g in jax.grad(loss, argnums=(0, 1))(v, a, s, c)
+            )
         )
-    )
-    try:
-        t = time.perf_counter()
-        float(bwd(scene.vertices, scene.albedo, scene, cam))
-        _log(f"fwd+bwd compile+first run: {time.perf_counter() - t:.1f}s")
-        dt_b = _time_best(
-            lambda: float(bwd(scene.vertices, scene.albedo, scene, cam)),
-            n=2,
-        )
-        bwd_rays = n_rays / dt_b
-        _log(f"fwd+bwd: {dt_b:.3f}s -> {bwd_rays:.3e} rays/s")
-    except Exception as e:  # noqa: BLE001 — report and continue
-        _log(f"fwd+bwd failed: {type(e).__name__}: {e}")
-        bwd_rays = 0.0
+
+    bwd_rays = 0.0
+    for name, fn in (("megakernel", render_radiance_fastgrad),
+                     ("wavefront", render_radiance)):
+        bwd = make_bwd(fn)
+        try:
+            t = time.perf_counter()
+            float(bwd(scene.vertices, scene.albedo, scene, cam))
+            _log(f"fwd+bwd [{name}] compile+first run: "
+                 f"{time.perf_counter() - t:.1f}s")
+            dt_b = _time_best(
+                lambda: float(bwd(scene.vertices, scene.albedo, scene, cam)),
+                n=2,
+            )
+            _log(f"fwd+bwd [{name}]: {dt_b:.3f}s -> "
+                 f"{n_rays / dt_b:.3e} rays/s")
+            bwd_rays = max(bwd_rays, n_rays / dt_b)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            _log(f"fwd+bwd [{name}] failed: {type(e).__name__}: {e}")
 
     # --- stress scene (config 4, scaled down for round-trip budget) ---
     try:

@@ -58,6 +58,16 @@ class RenderConfig:
         emitter hits by the power heuristic (β=2) instead of dropping
         the latter — robust when lights are large or close, where BSDF
         sampling is the better strategy. Ignored without nee.
+      rr_start: Russian-roulette start bounce (0 = off). From this bounce
+        on, each path continues with probability q = max component of its
+        throughput (clamped to [0.05, 1]) and surviving paths are
+        reweighted by 1/q — the unbiased way to run deep ``max_bounces``
+        without paying full variance-free depth everywhere. Requires
+        rng="threefry" (needs one extra uniform per bounce). Termination
+        decisions are detached from gradients.
+      stratify: stratify the first-bounce azimuth uniform across the spp
+        samples (u -> (s + u)/spp) — lower variance at equal spp, exact
+        same estimator in expectation. Requires rng="threefry".
       remat: rematerialize each sample's trace in the backward pass
         (``jax.checkpoint`` on the sample-scan body). Essential at high
         spp: without it every sample's per-bounce residuals live until
@@ -80,6 +90,8 @@ class RenderConfig:
     ] = "reference"
     nee: bool = False
     mis: bool = True
+    rr_start: int = 0
+    stratify: bool = False
     remat: bool = True
     tri_block: int = 512
     ray_tile: int = 2048

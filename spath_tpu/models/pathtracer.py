@@ -73,7 +73,7 @@ def _bounce_uniforms(cfg, rng_state, hit, bounce, pixel_ids, n):
         new_state = jnp.where(hit, s2, rng_state)
         return new_state, jnp.stack([u1, u2])
     k = jax.random.fold_in(rng_state, bounce)
-    n_draws = 5 if cfg.nee else 2
+    n_draws = (5 if cfg.nee else 2) + (1 if cfg.rr_start else 0)
     return rng_state, per_pixel_uniforms(k, pixel_ids, n_draws)
 
 
@@ -86,6 +86,7 @@ def trace_radiance(
     pixel_ids: jax.Array | None = None,
     return_aux: bool = False,
     first_hit=None,
+    sample_idx=None,
 ):
     """Trace ONE sample per ray. Returns ``(radiance (N,3), rng_state)``.
 
@@ -104,6 +105,8 @@ def trace_radiance(
     """
     if cfg.nee and cfg.rng != "threefry":
         raise ValueError("cfg.nee requires rng='threefry'")
+    if (cfg.rr_start or cfg.stratify) and cfg.rng != "threefry":
+        raise ValueError("rr_start/stratify require rng='threefry'")
     n = origins.shape[0]
     if pixel_ids is None:
         pixel_ids = jnp.arange(n, dtype=jnp.uint32)
@@ -155,7 +158,14 @@ def trace_radiance(
         rng_state, us = _bounce_uniforms(
             cfg, rng_state, hit, bounce, pixel_ids, n
         )
-        next_d, weight = hemisphere_sample(cfg.sampler, adj_n, us[0], us[1])
+        u_az = us[0]
+        if cfg.stratify and bounce == 0 and sample_idx is not None:
+            # Stratify the first-bounce azimuth across the spp samples:
+            # substream s draws from [s/spp, (s+1)/spp) — same marginal
+            # distribution, lower variance.
+            u_az = (jnp.float32(sample_idx) + u_az) * jnp.float32(
+                1.0 / cfg.spp)
+        next_d, weight = hemisphere_sample(cfg.sampler, adj_n, u_az, us[1])
         # Detached sampling: the direction is a constant of the backward
         # pass; cosθ keeps its dependence on the (differentiable) normal.
         next_d = lax.stop_gradient(next_d)
@@ -198,6 +208,19 @@ def trace_radiance(
         d = jnp.where(hit3, next_d, d)
         src = jnp.where(hit, idx, src)
         alive = hit
+        if cfg.rr_start and bounce >= cfg.rr_start \
+                and bounce < cfg.max_bounces - 1:
+            # Russian roulette on the CONTINUATION: survive with
+            # probability q = max throughput component, reweight by 1/q.
+            # The decision is detached; the 1/q reweight keeps gradients.
+            q = lax.stop_gradient(jnp.clip(
+                jnp.max(throughput, axis=-1), 0.05, 1.0))
+            survive = us[-1] < q
+            throughput = jnp.where(
+                (hit & survive)[:, None], throughput / q[:, None],
+                throughput,
+            )
+            alive = hit & survive
         if use_mis:
             from spath_tpu.ops.nee import bsdf_pdf
 
@@ -252,6 +275,7 @@ def trace_mean_radiance(
             rad, _ = trace_radiance(
                 scene, origins, directions, cfg, state_s, pixel_ids,
                 first_hit=first_hit,
+                sample_idx=s if cfg.stratify else None,
             )
             new_state = state
         else:
@@ -371,6 +395,27 @@ def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0):
     else:
         rad = render_radiance_compact(scene, camera, cfg, seed)
     return jnp.clip(rad, 0.0, 1.0)
+
+
+def render_radiance_fastgrad(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0
+) -> jax.Array:
+    """Differentiable radiance, fused-kernel VJP when supported.
+
+    Same value and same (detached-sampling) gradient semantics as
+    ``render_radiance``, but when the config fits the fused megakernel
+    (conformance estimator, small T, accelerator backend) both the
+    forward AND the backward are single Pallas launches — the hand-written
+    reverse sweep in ``ops/pallas/megakernel_grad`` instead of XLA's
+    transpose of the wavefront program (~10x faster fwd+bwd at 1080p).
+    Falls back to ``render_radiance`` everywhere else.
+    """
+    from spath_tpu.ops.pallas import megakernel_grad
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    if on_accel and megakernel_grad.supported_grad(scene, cfg):
+        return megakernel_grad.render_radiance_mega(scene, camera, cfg, seed)
+    return render_radiance(scene, camera, cfg, seed)
 
 
 def _is_key(x) -> bool:

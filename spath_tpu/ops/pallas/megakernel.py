@@ -43,66 +43,101 @@ _BIG = np.float32(MAX_DIST)
 _PI = np.float64(np.arccos(-1.0))
 
 TILE_N = 1024
-#: Above this the unrolled triangle walk bloats compile time; callers
-#: should fall back to the blocked kernels.
-MAX_TRIS = 16
+#: Scenes up to this unroll the triangle walk as straight-line code
+#: (fastest; compile time grows with T).
+UNROLL_TRIS = 16
+#: Above UNROLL_TRIS the walk is a ``fori_loop`` with dynamic scalar
+#: reads from the SMEM triangle table — O(1) program size. The cap keeps
+#: the (T, 24) float32 table comfortably inside scalar memory; truly
+#: large scenes use the blocked MXU kernels via the wavefront path.
+MAX_TRIS = 1024
 
 
 def _lcg(seed):
     seed = jnp.uint32(214013) * seed + jnp.uint32(2531011)
     bits = (seed >> jnp.uint32(16)) & jnp.uint32(0x7FFF)
     # Mosaic has no u32→f32 cast; the 15-bit value roundtrips via i32.
-    u = bits.astype(jnp.int32).astype(jnp.float32) * np.float32(1.0 / 32767.0)
+    # Divide (don't multiply by the rounded reciprocal): ops/rng.py
+    # divides, and the two differ by 1 ulp on some draws — enough to flip
+    # a chaotic path and break kernel-vs-wavefront conformance.
+    u = bits.astype(jnp.int32).astype(jnp.float32) / np.float32(32767.0)
     return seed, u
 
 
-def _nearest(ox, oy, oz, dx, dy, dz, src, tri, n_tris):
-    """Unrolled Möller–Trumbore scan over the VMEM triangle table.
+def _mt_step(t, ox, oy, oz, dx, dy, dz, src, tri, best_d, best_i):
+    """One Möller–Trumbore test of every lane against triangle ``t``.
 
-    All operands are (1, TILE_N) rows; triangle scalars broadcast.
+    Operands are (1, TILE_N) rows; triangle scalars (static OR dynamic
+    index into the SMEM table) broadcast. Returns updated (best_d,
+    best_i).
+    """
+    v0x, v0y, v0z = tri[t, 0], tri[t, 1], tri[t, 2]
+    e1x, e1y, e1z = tri[t, 3], tri[t, 4], tri[t, 5]
+    e2x, e2y, e2z = tri[t, 6], tri[t, 7], tri[t, 8]
+    # h = d × e2
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    nondeg = jnp.abs(a) >= _EPS
+    f = jnp.float32(1.0) / jnp.where(nondeg, a, jnp.float32(1.0))
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    dist = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (
+        nondeg
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (dist > _EPS) & (dist < _INV_EPS)
+        & (src != t)
+        & (dist < best_d)
+    )
+    return jnp.where(ok, dist, best_d), jnp.where(ok, t, best_i)
+
+
+def _nearest(ox, oy, oz, dx, dy, dz, src, tri, n_tris):
+    """Möller–Trumbore scan over the SMEM triangle table.
+
+    Unrolled straight-line code for small scenes; a ``fori_loop`` with
+    dynamic scalar reads above ``UNROLL_TRIS`` (O(1) program size).
     Returns (best_d, best_i).
     """
     best_d = jnp.full_like(ox, _BIG)
     best_i = jnp.full_like(src, -1)
-    for t in range(n_tris):
-        v0x, v0y, v0z = tri[t, 0], tri[t, 1], tri[t, 2]
-        e1x, e1y, e1z = tri[t, 3], tri[t, 4], tri[t, 5]
-        e2x, e2y, e2z = tri[t, 6], tri[t, 7], tri[t, 8]
-        # h = d × e2
-        hx = dy * e2z - dz * e2y
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        nondeg = jnp.abs(a) >= _EPS
-        f = jnp.float32(1.0) / jnp.where(nondeg, a, jnp.float32(1.0))
-        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (dx * qx + dy * qy + dz * qz)
-        dist = f * (e2x * qx + e2y * qy + e2z * qz)
-        ok = (
-            nondeg
-            & (u >= 0.0) & (u <= 1.0)
-            & (v >= 0.0) & (u + v <= 1.0)
-            & (dist > _EPS) & (dist < _INV_EPS)
-            & (src != t)
-            & (dist < best_d)
-        )
-        best_d = jnp.where(ok, dist, best_d)
-        best_i = jnp.where(ok, t, best_i)
-    return best_d, best_i
+    if n_tris <= UNROLL_TRIS:
+        for t in range(n_tris):
+            best_d, best_i = _mt_step(
+                t, ox, oy, oz, dx, dy, dz, src, tri, best_d, best_i)
+        return best_d, best_i
+
+    def body(t, carry):
+        return _mt_step(t, ox, oy, oz, dx, dy, dz, src, tri, *carry)
+
+    return lax.fori_loop(0, n_tris, body, (best_d, best_i))
 
 
 def _gather_cols(tri, best_i, cols, n_tris):
     """Select per-triangle scalars by index via masked accumulation."""
+    cols = tuple(cols)
     outs = [jnp.zeros_like(best_i, dtype=jnp.float32) for _ in cols]
-    for t in range(n_tris):
+    if n_tris <= UNROLL_TRIS:
+        for t in range(n_tris):
+            m = best_i == t
+            for k, c in enumerate(cols):
+                outs[k] = jnp.where(m, tri[t, c], outs[k])
+        return outs
+
+    def body(t, outs):
         m = best_i == t
-        for k, c in enumerate(cols):
-            outs[k] = jnp.where(m, tri[t, c], outs[k])
-    return outs
+        return tuple(
+            jnp.where(m, tri[t, c], o) for c, o in zip(cols, outs)
+        )
+
+    return list(lax.fori_loop(0, n_tris, body, tuple(outs)))
 
 
 def _megakernel(rays, seeds, tri, out, *, cfg: RenderConfig, n_tris: int):
@@ -213,16 +248,15 @@ def supported(scene, cfg: RenderConfig) -> bool:
     )
 
 
-def render_radiance_megakernel(scene, camera, cfg: RenderConfig, seed=0):
-    """Unclamped mean radiance ``(H, W, 3)`` via the fused kernel.
+def pack_rays(camera, cfg: RenderConfig, seed):
+    """Camera → padded ``(8, Np)`` ray rows + ``(1, Np)`` seed row.
 
-    Forward-only (no gradient rule); conformance estimator only — see
-    ``supported``.
+    Differentiable in the camera (the concatenate/pad/transpose chain
+    transposes cleanly), shared by the forward-only and custom-VJP entry
+    points. Returns ``(rays, seeds, n)`` with ``Np = n`` padded up to a
+    multiple of ``TILE_N``.
     """
     from spath_tpu.camera import generate_rays
-
-    if not supported(scene, cfg):
-        raise ValueError("megakernel supports lcg+angle, T <= MAX_TRIS")
 
     o, d = generate_rays(camera, cfg.width, cfg.height)
     n = o.shape[0]
@@ -234,13 +268,14 @@ def render_radiance_megakernel(scene, camera, cfg: RenderConfig, seed=0):
     seeds = (
         jnp.arange(n + pad, dtype=jnp.uint32)[None, :] + jnp.uint32(seed)
     )
-    tri = _scene_table(scene)
-    np_ = n + pad
+    return rays, seeds, n
 
-    kernel = functools.partial(
-        _megakernel, cfg=cfg, n_tris=scene.n_tris
-    )
-    out = pl.pallas_call(
+
+def mega_call(rays, seeds, tri, cfg: RenderConfig, n_tris: int):
+    """Raw forward pallas_call on packed rows → ``(4, Np)`` radiance rows."""
+    np_ = rays.shape[1]
+    kernel = functools.partial(_megakernel, cfg=cfg, n_tris=n_tris)
+    return pl.pallas_call(
         kernel,
         grid=(np_ // TILE_N,),
         in_specs=[
@@ -254,4 +289,18 @@ def render_radiance_megakernel(scene, camera, cfg: RenderConfig, seed=0):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
     )(rays, seeds, tri)
+
+
+def render_radiance_megakernel(scene, camera, cfg: RenderConfig, seed=0):
+    """Unclamped mean radiance ``(H, W, 3)`` via the fused kernel.
+
+    Forward-only (no gradient rule); conformance estimator only — see
+    ``supported``. For the differentiable fused path use
+    ``megakernel_grad.render_radiance_mega``.
+    """
+    if not supported(scene, cfg):
+        raise ValueError("megakernel supports lcg+angle, T <= MAX_TRIS")
+    rays, seeds, n = pack_rays(camera, cfg, seed)
+    tri = _scene_table(scene)
+    out = mega_call(rays, seeds, tri, cfg, scene.n_tris)
     return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

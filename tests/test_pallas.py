@@ -125,9 +125,38 @@ def test_megakernel_matches_wavefront(scene7):
 
 def test_megakernel_guardrails(scene7):
     from spath_tpu.config import RenderConfig
-    from spath_tpu.ops.pallas.megakernel import supported
+    from spath_tpu.ops.pallas.megakernel import MAX_TRIS, supported
+    from spath_tpu.ops.pallas.megakernel_grad import supported_grad
     from spath_tpu.scene import procedural_scene
 
     assert supported(scene7, RenderConfig(rng="lcg", sampler="angle"))
     assert not supported(scene7, RenderConfig(rng="threefry"))
-    assert not supported(procedural_scene(100), RenderConfig())
+    # fori-loop triangle walk extends the forward kernel to MAX_TRIS...
+    assert supported(procedural_scene(100), RenderConfig())
+    assert not supported(procedural_scene(MAX_TRIS + 8), RenderConfig())
+    # ...but the backward kernel's VMEM accumulator caps lower.
+    assert supported_grad(scene7, RenderConfig())
+    assert not supported_grad(procedural_scene(100), RenderConfig())
+
+
+def test_megakernel_fori_walk_matches_wavefront(scene7):
+    """T > UNROLL_TRIS takes the fori_loop/dynamic-SMEM walk; conformance
+    vs the XLA wavefront on a procedural scene."""
+    from spath_tpu.camera import Camera
+    from spath_tpu.config import RenderConfig
+    from spath_tpu.models.pathtracer import render_radiance
+    from spath_tpu.ops.pallas.megakernel import (
+        UNROLL_TRIS, render_radiance_megakernel, supported,
+    )
+    from spath_tpu.scene import procedural_scene
+
+    scene = procedural_scene(UNROLL_TRIS + 9, seed=2)
+    cfg = RenderConfig(width=32, height=24, spp=2, rng="lcg",
+                       sampler="angle")
+    assert supported(scene, cfg)
+    cam = Camera.default()
+    want = np.asarray(render_radiance(scene, cam, cfg, seed=0))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(render_radiance_megakernel(scene, cam, cfg, 0))
+    flipped = (np.abs(got - want) > 1e-4).any(-1)
+    assert flipped.mean() < 0.01, f"{flipped.mean():.4f} flipped"
