@@ -47,8 +47,15 @@ def _add_common(p: argparse.ArgumentParser):
                    help="path length cap (reference: hard 5)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scene", default="default",
-                   help='"default" (the 7-triangle scene) or '
-                        '"procedural:N[:seed]"')
+                   help='"default" (the 7-triangle scene), '
+                        '"procedural:N[:seed]", or a path to a .obj/.ply '
+                        'mesh (MTL Kd/Ke -> albedo/emission)')
+    p.add_argument("--rr-start", type=int, default=0,
+                   help="Russian-roulette start bounce (0 = off; "
+                        "quality mode only)")
+    p.add_argument("--stratify", action="store_true",
+                   help="stratify first-bounce sampling across spp "
+                        "(quality mode only)")
     p.add_argument("--mode", choices=["conformance", "quality"],
                    default="conformance",
                    help="conformance = reference LCG+angle sampler; "
@@ -89,6 +96,10 @@ def _build(args):
         n = int(parts[1])
         seed = int(parts[2]) if len(parts) > 2 else 0
         scene = procedural_scene(n, seed=seed)
+    elif args.scene.lower().endswith((".obj", ".ply")):
+        from spath_tpu.scene_io import load_scene
+
+        scene = load_scene(args.scene)
     else:
         raise SystemExit(f"unknown scene {args.scene!r}")
 
@@ -103,8 +114,14 @@ def _build(args):
             width=w, height=h, spp=args.spp, max_bounces=args.bounces,
             rng="threefry", sampler="cosine", nee=True,
             intersect=args.intersect or "pluecker",
+            rr_start=getattr(args, "rr_start", 0),
+            stratify=getattr(args, "stratify", False),
         )
     else:
+        if getattr(args, "rr_start", 0) or getattr(args, "stratify", False):
+            raise SystemExit(
+                "--rr-start/--stratify need --mode quality (the "
+                "conformance LCG stream layout has no slot for them)")
         cfg = RenderConfig(
             width=w, height=h, spp=args.spp, max_bounces=args.bounces,
             rng="lcg", sampler="angle",
@@ -152,6 +169,17 @@ def cmd_render(args) -> int:
             img = np.asarray(
                 jax.jit(render_flat, static_argnames=("cfg",))(scene, cam, cfg)
             )
+        elif args.tonemap != "clamp":
+            # Tonemap operators want unclamped HDR radiance.
+            from spath_tpu.models.pathtracer import render_radiance
+            from spath_tpu.utils.image import tonemap
+
+            hdr = np.asarray(
+                jax.jit(render_radiance, static_argnames=("cfg",))(
+                    scene, cam, cfg, args.seed
+                )
+            )
+            img = tonemap(hdr, args.tonemap, args.exposure)
         else:
             img = np.asarray(
                 jax.jit(render_pt, static_argnames=("cfg",))(
@@ -247,6 +275,12 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--flat", action="store_true",
                    help="flat-shaded debug view (reference render_flat)")
+    p.add_argument("--tonemap", default="clamp",
+                   choices=["clamp", "reinhard", "aces", "gamma22"],
+                   help="HDR->display operator (clamp = reference "
+                        "semantics, src/scene.h:32-39)")
+    p.add_argument("--exposure", type=float, default=1.0,
+                   help="linear exposure multiplier before tonemapping")
     p.add_argument("--out", default="frame.png")
     p.set_defaults(fn=cmd_render)
 

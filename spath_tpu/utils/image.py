@@ -67,3 +67,34 @@ def write_png(path: str, img) -> None:
         f.write(chunk(b"IHDR", ihdr))
         f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
         f.write(chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# Tonemap operators (beyond-parity: the reference only clamps,
+# ``src/scene.h:32-39``). All take UNCLAMPED linear HDR radiance
+# (e.g. ``render_radiance``) and return [0, 1] floats.
+# ---------------------------------------------------------------------------
+
+TONEMAP_MODES = ("clamp", "reinhard", "aces", "gamma22")
+
+
+def tonemap(img, mode: str = "clamp", exposure: float = 1.0) -> np.ndarray:
+    """Map linear HDR radiance to display [0, 1].
+
+    Modes:
+      clamp    — the reference's semantics: clip to [0, 1].
+      reinhard — x / (1 + x), global Reinhard.
+      aces     — Narkowicz's ACES filmic fit.
+      gamma22  — clamp then encode with gamma 1/2.2.
+    """
+    x = np.asarray(img, np.float32) * np.float32(exposure)
+    if mode == "clamp":
+        return np.clip(x, 0.0, 1.0)
+    if mode == "reinhard":
+        return np.clip(x / (1.0 + x), 0.0, 1.0)
+    if mode == "aces":
+        a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+        return np.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+    if mode == "gamma22":
+        return np.clip(x, 0.0, 1.0) ** np.float32(1.0 / 2.2)
+    raise ValueError(f"unknown tonemap mode {mode!r}; one of {TONEMAP_MODES}")
