@@ -35,7 +35,13 @@ class RenderConfig:
       rng: "lcg" reproduces the reference per-pixel LCG stream
         (seed = pixel id, ``src/render.cl:233``, ``src/render.comp:219``;
         formula ``src/frand.h:53-63``); "threefry" uses counter-based
-        ``jax.random`` keys (the quality mode).
+        ``jax.random`` keys (the quality mode); "hash" uses counter-based
+        murmur3-mixer streams keyed by (seed, pixel, sample, bounce,
+        draw) — statistically equivalent to threefry, ~10 integer ops per
+        draw, and implementable verbatim inside Pallas kernels so the
+        fused quality megakernel draws the same randoms as the XLA
+        wavefront. Both "threefry" and "hash" are sharding-invariant
+        (streams keyed by global pixel id).
       sampler: "angle" is the reference's angle-uniform hemisphere sampler
         (``src/geom.h:164-177`` — NOT cosine weighted; paired with the
         reference's p = 1/(2π) it is a *biased* estimator, reproduced
@@ -83,7 +89,7 @@ class RenderConfig:
     height: int = 480
     spp: int = 128
     max_bounces: int = 5
-    rng: Literal["lcg", "threefry"] = "lcg"
+    rng: Literal["lcg", "threefry", "hash"] = "lcg"
     sampler: Literal["angle", "cosine", "uniform"] = "angle"
     intersect: Literal[
         "reference", "pluecker", "pallas", "pallas_fast"

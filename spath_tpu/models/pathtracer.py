@@ -53,7 +53,8 @@ from spath_tpu.ops.sampling import hemisphere_sample
 from spath_tpu.scene import Scene
 
 
-def _bounce_uniforms(cfg, rng_state, hit, bounce, pixel_ids, n):
+def _bounce_uniforms(cfg, rng_state, hit, bounce, pixel_ids, n,
+                     sample_idx=None):
     """Draw the per-ray uniforms for a bounce and advance the RNG.
 
     LCG mode: state is the per-pixel uint32 seed; it advances twice but
@@ -72,8 +73,14 @@ def _bounce_uniforms(cfg, rng_state, hit, bounce, pixel_ids, n):
         s2, u2 = lcg_next(s1)
         new_state = jnp.where(hit, s2, rng_state)
         return new_state, jnp.stack([u1, u2])
-    k = jax.random.fold_in(rng_state, bounce)
     n_draws = (5 if cfg.nee else 2) + (1 if cfg.rr_start else 0)
+    if cfg.rng == "hash":
+        from spath_tpu.ops.rng import hash_uniforms
+
+        s = 0 if sample_idx is None else sample_idx
+        return rng_state, hash_uniforms(
+            rng_state, pixel_ids, s, bounce, n_draws)
+    k = jax.random.fold_in(rng_state, bounce)
     return rng_state, per_pixel_uniforms(k, pixel_ids, n_draws)
 
 
@@ -103,10 +110,10 @@ def trace_radiance(
     (deterministic) intersection can be hoisted out of the sample loop —
     bit-identical results, one fewer nearest-hit sweep per sample.
     """
-    if cfg.nee and cfg.rng != "threefry":
-        raise ValueError("cfg.nee requires rng='threefry'")
-    if (cfg.rr_start or cfg.stratify) and cfg.rng != "threefry":
-        raise ValueError("rr_start/stratify require rng='threefry'")
+    if cfg.nee and cfg.rng == "lcg":
+        raise ValueError("cfg.nee requires rng='threefry' or 'hash'")
+    if (cfg.rr_start or cfg.stratify) and cfg.rng == "lcg":
+        raise ValueError("rr_start/stratify require rng='threefry'/'hash'")
     n = origins.shape[0]
     if pixel_ids is None:
         pixel_ids = jnp.arange(n, dtype=jnp.uint32)
@@ -156,7 +163,7 @@ def trace_radiance(
         adj_n = jnp.where(flip[:, None], -nrm, nrm)
 
         rng_state, us = _bounce_uniforms(
-            cfg, rng_state, hit, bounce, pixel_ids, n
+            cfg, rng_state, hit, bounce, pixel_ids, n, sample_idx
         )
         u_az = us[0]
         if cfg.stratify and bounce == 0 and sample_idx is not None:
@@ -265,6 +272,9 @@ def trace_mean_radiance(
     if cfg.rng == "lcg":
         # Per-pixel streams seeded by pixel index (src/render.cl:233).
         state0 = pixel_ids.astype(jnp.uint32) + jnp.uint32(seed)
+    elif cfg.rng == "hash":
+        # Stateless counter streams: state is just the frame seed.
+        state0 = jnp.asarray(seed).astype(jnp.uint32)
     else:
         state0 = jax.random.key(seed) if not _is_key(seed) else seed
 
@@ -276,6 +286,12 @@ def trace_mean_radiance(
                 scene, origins, directions, cfg, state_s, pixel_ids,
                 first_hit=first_hit,
                 sample_idx=s if cfg.stratify else None,
+            )
+            new_state = state
+        elif cfg.rng == "hash":
+            rad, _ = trace_radiance(
+                scene, origins, directions, cfg, state, pixel_ids,
+                first_hit=first_hit, sample_idx=s,
             )
             new_state = state
         else:
@@ -387,11 +403,14 @@ def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0):
     XLA wavefront at 1080p), otherwise the stream-compacted wavefront.
     Not differentiable; use ``render_pt`` under ``jax.grad``.
     """
-    from spath_tpu.ops.pallas import megakernel
+    from spath_tpu.ops.pallas import megakernel, megakernel_quality
 
     on_accel = jax.devices()[0].platform != "cpu"
     if on_accel and megakernel.supported(scene, cfg):
         rad = megakernel.render_radiance_megakernel(scene, camera, cfg, seed)
+    elif on_accel and megakernel_quality.supported(scene, cfg):
+        rad = megakernel_quality.render_radiance_quality_megakernel(
+            scene, camera, cfg, seed)
     else:
         rad = render_radiance_compact(scene, camera, cfg, seed)
     return jnp.clip(rad, 0.0, 1.0)

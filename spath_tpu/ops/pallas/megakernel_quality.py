@@ -1,0 +1,327 @@
+"""Whole-frame QUALITY path tracer in ONE Pallas launch.
+
+The conformance megakernel (``megakernel.py``) fuses the reference
+estimator; this kernel fuses the production one — cosine-weighted
+hemisphere sampling, next-event estimation with area-reparameterized
+light sampling, and the power-heuristic MIS combination
+(``ops/nee.py``/``ops/sampling.py`` semantics) — using the counter-based
+hash RNG (``ops/rng.py::hash_uniform``), which costs ~10 integer VPU ops
+per draw and draws the SAME randoms as the XLA wavefront in
+``cfg.rng='hash'`` mode, so kernel-vs-wavefront conformance is testable
+the same way as the LCG mode.
+
+Per bounce the kernel runs THREE O(T) sweeps over the SMEM scene table
+(nearest hit, light selection+gather, shadow ray) — all unrolled for
+small scenes and fori-loop'd above ``UNROLL_TRIS``. Light selection is a
+categorical draw over the full table (prob 0 for dark triangles), which
+keeps the table static under jit; the cdf/prob/area columns are
+precomputed outside.
+
+Forward/serving path only: ``jax.grad`` flows through the wavefront
+renderer (``render_radiance``) instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spath_tpu.config import RenderConfig
+from spath_tpu.ops.pallas.megakernel import (
+    MAX_TRIS,
+    TILE_N,
+    UNROLL_TRIS,
+    _gather_cols,
+    _nearest,
+)
+
+_PI = np.float64(np.arccos(-1.0))
+_INV_PI = np.float32(1.0 / _PI)
+_GOLD = np.uint32(0x9E3779B9)
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
+_C1 = np.uint32(0x27D4EB2F)
+_C2 = np.uint32(0x165667B1)
+_C3 = np.uint32(0xD3A2646C)
+
+#: quality table columns (T, 24):
+#: v0(0:3) e1(3:6) e2(6:9) n(9:12) albedo(12:15) emission(15:18)
+#: prob(18) area(19) cdf(20) pad(21:24)
+_COL_PROB, _COL_AREA, _COL_CDF = 18, 19, 20
+
+
+def _fmix(h):
+    h = h ^ (h >> np.uint32(16))
+    h = h * _M1
+    h = h ^ (h >> np.uint32(13))
+    h = h * _M2
+    return h ^ (h >> np.uint32(16))
+
+
+def _hash_draws(h0, sample, bounce: int, n_draws: int):
+    """float32 uniforms for (sample, bounce); bit-identical to
+    ``ops/rng.py::hash_uniform`` given ``h0 = seed*GOLD + pixel``."""
+    h1 = _fmix(h0)
+    s = sample.astype(jnp.uint32) * _C1
+    us = []
+    for d in range(n_draws):
+        const = np.uint32((int(_C2) * bounce + int(_C3) * d) & 0xFFFFFFFF)
+        h = h1 + (s + const)
+        h = _fmix(h)
+        bits = h >> np.uint32(8)
+        us.append(bits.astype(jnp.int32).astype(jnp.float32)
+                  * np.float32(2.0 ** -24))
+    return us
+
+
+def _select_light(tri, u_sel, n_tris):
+    """Categorical draw over the cdf column: count(cdf <= u), clipped —
+    the exact semantics of ``searchsorted(side='right')``."""
+    cnt = jnp.zeros_like(u_sel, dtype=jnp.int32)
+    one = jnp.int32(1)
+
+    if n_tris <= UNROLL_TRIS:
+        for t in range(n_tris):
+            cnt = cnt + jnp.where(tri[t, _COL_CDF] <= u_sel, one, 0)
+    else:
+        def body(t, cnt):
+            return cnt + jnp.where(tri[t, _COL_CDF] <= u_sel, one, 0)
+
+        cnt = lax.fori_loop(0, n_tris, body, cnt)
+    return jnp.minimum(cnt, n_tris - 1)
+
+
+def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
+                    n_tris: int):
+    ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx0, dy0, dz0 = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    src0 = jnp.full_like(ox0, -1.0).astype(jnp.int32)
+    fh_d, fh_i = _nearest(ox0, oy0, oz0, dx0, dy0, dz0, src0, tri, n_tris)
+    h0 = keys[0:1, :]
+    use_mis = cfg.nee and cfg.mis
+    n_draws = 5 if cfg.nee else 2
+
+    def sample_body(s, carry):
+        acc_r, acc_g, acc_b = carry
+        ox, oy, oz = ox0, oy0, oz0
+        dx, dy, dz = dx0, dy0, dz0
+        src = src0
+        alive = jnp.ones_like(ox, dtype=jnp.bool_)
+        tr_r = jnp.ones_like(ox)
+        tr_g = jnp.ones_like(ox)
+        tr_b = jnp.ones_like(ox)
+        rad_r = jnp.zeros_like(ox)
+        rad_g = jnp.zeros_like(ox)
+        rad_b = jnp.zeros_like(ox)
+        prev_pdf = jnp.zeros_like(ox)
+
+        for bounce in range(cfg.max_bounces):
+            if bounce == 0:
+                dist, idx = fh_d, fh_i
+            else:
+                dist, idx = _nearest(ox, oy, oz, dx, dy, dz, src, tri,
+                                     n_tris)
+            hit = alive & (idx >= 0)
+            (nx, ny, nz, ar, ag, ab_, er, eg, eb_,
+             hprob, harea) = _gather_cols(
+                tri, idx,
+                (9, 10, 11, 12, 13, 14, 15, 16, 17, _COL_PROB, _COL_AREA),
+                n_tris,
+            )
+            # hit point
+            px = ox + dist * dx
+            py = oy + dist * dy
+            pz = oz + dist * dz
+            flip = nx * dx + ny * dy + nz * dz > 0.0
+            anx = jnp.where(flip, -nx, nx)
+            any_ = jnp.where(flip, -ny, ny)
+            anz = jnp.where(flip, -nz, nz)
+
+            us = _hash_draws(h0, s, bounce, n_draws)
+
+            # --- emitter-hit term (BSDF strategy) ---
+            if cfg.nee:
+                if bounce == 0:
+                    w_b = jnp.ones_like(ox)
+                elif use_mis:
+                    # nee pdf this hit would have had (ops/nee.py
+                    # ::nee_pdf_of_hit), vs the recorded bsdf pdf
+                    cos_l_hit = jnp.abs(nx * dx + ny * dy + nz * dz)
+                    dmin = jnp.minimum(dist, np.float32(1e6))
+                    p_nee_here = (
+                        hprob / jnp.maximum(harea, np.float32(1e-20))
+                    ) * dmin * dmin / jnp.maximum(cos_l_hit,
+                                                  np.float32(1e-6))
+                    w_b = prev_pdf * prev_pdf / jnp.maximum(
+                        prev_pdf * prev_pdf + p_nee_here * p_nee_here,
+                        np.float32(1e-30),
+                    )
+                else:
+                    w_b = jnp.zeros_like(ox)   # pure NEE drops them
+                rad_r = rad_r + jnp.where(hit, tr_r * er * w_b, 0.0)
+                rad_g = rad_g + jnp.where(hit, tr_g * eg * w_b, 0.0)
+                rad_b = rad_b + jnp.where(hit, tr_b * eb_ * w_b, 0.0)
+            else:
+                rad_r = rad_r + jnp.where(hit, tr_r * er, 0.0)
+                rad_g = rad_g + jnp.where(hit, tr_g * eg, 0.0)
+                rad_b = rad_b + jnp.where(hit, tr_b * eb_, 0.0)
+
+            # --- cosine-weighted bounce direction (ops/sampling.py) ---
+            phi = us[0] * np.float32(2.0 * _PI)
+            r_ = jnp.sqrt(jnp.maximum(1.0 - us[1], 0.0))
+            z_ = jnp.sqrt(us[1])
+            sgn = jnp.where(anz >= 0.0, 1.0, -1.0).astype(jnp.float32)
+            a_ = jnp.float32(-1.0) / (sgn + anz)
+            b_ = anx * any_ * a_
+            tx = 1.0 + sgn * anx * anx * a_
+            ty = sgn * b_
+            tz = -sgn * anx
+            btx = b_
+            bty = sgn + any_ * any_ * a_
+            btz = -any_
+            cp = jnp.cos(phi) * r_
+            sp = jnp.sin(phi) * r_
+            ndx = tx * cp + btx * sp + anx * z_
+            ndy = ty * cp + bty * sp + any_ * z_
+            ndz = tz * cp + btz * sp + anz * z_
+
+            # --- NEE direct light (ops/nee.py::direct_light) ---
+            if cfg.nee:
+                li = _select_light(tri, us[2], n_tris)
+                (lv0x, lv0y, lv0z, le1x, le1y, le1z, le2x, le2y, le2z,
+                 lnx, lny, lnz, lemr, lemg, lemb, lprob, larea) = \
+                    _gather_cols(
+                        tri, li,
+                        (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                         15, 16, 17, _COL_PROB, _COL_AREA),
+                        n_tris,
+                    )
+                su1 = jnp.sqrt(us[3])
+                b1 = 1.0 - su1
+                b2 = us[4] * su1
+                yx = lv0x + b1 * le1x + b2 * le2x
+                yy = lv0y + b1 * le1y + b2 * le2y
+                yz = lv0z + b1 * le1z + b2 * le2z
+                delx, dely, delz = yx - px, yy - py, yz - pz
+                r2 = delx * delx + dely * dely + delz * delz
+                rl = jnp.sqrt(jnp.maximum(r2, np.float32(1e-20)))
+                omx, omy, omz = delx / rl, dely / rl, delz / rl
+                cos_s = anx * omx + any_ * omy + anz * omz
+                cos_l = jnp.abs(lnx * omx + lny * omy + lnz * omz)
+                safe_src = jnp.maximum(idx, 0)
+                _, occ = _nearest(px, py, pz, omx, omy, omz, safe_src,
+                                  tri, n_tris)
+                valid = (
+                    (occ == li) & (lprob > 0.0) & (cos_s > 0.0)
+                    & (li != safe_src)
+                )
+                g = cos_s * cos_l / jnp.maximum(r2, np.float32(1e-12))
+                wgt = larea / jnp.maximum(lprob, np.float32(1e-20))
+                scale = g * wgt * _INV_PI
+                if use_mis:
+                    p_nee = (
+                        lprob / jnp.maximum(larea, np.float32(1e-20))
+                    ) * jnp.minimum(r2, np.float32(1e12)) / jnp.maximum(
+                        cos_l, np.float32(1e-6))
+                    p_bsdf = jnp.maximum(cos_s, 0.0) * _INV_PI
+                    scale = scale * (p_nee * p_nee / jnp.maximum(
+                        p_nee * p_nee + p_bsdf * p_bsdf,
+                        np.float32(1e-30)))
+                ok = hit & valid
+                rad_r = rad_r + jnp.where(ok, tr_r * ar * lemr * scale, 0.0)
+                rad_g = rad_g + jnp.where(ok, tr_g * ag * lemg * scale, 0.0)
+                rad_b = rad_b + jnp.where(
+                    ok, tr_b * ab_ * lemb * scale, 0.0)
+
+            # --- advance (cosine weight = 1: pdf cancels BRDF·cosθ) ---
+            tr_r = jnp.where(hit, tr_r * ar, tr_r)
+            tr_g = jnp.where(hit, tr_g * ag, tr_g)
+            tr_b = jnp.where(hit, tr_b * ab_, tr_b)
+            ox = jnp.where(hit, px, ox)
+            oy = jnp.where(hit, py, oy)
+            oz = jnp.where(hit, pz, oz)
+            dx = jnp.where(hit, ndx, dx)
+            dy = jnp.where(hit, ndy, dy)
+            dz = jnp.where(hit, ndz, dz)
+            src = jnp.where(hit, idx, src)
+            alive = hit
+            if use_mis:
+                cos_next = ndx * anx + ndy * any_ + ndz * anz
+                prev_pdf = jnp.maximum(cos_next, 0.0) * _INV_PI
+
+        return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
+
+    zeros = jnp.zeros_like(ox0)
+    acc_r, acc_g, acc_b = lax.fori_loop(
+        0, cfg.spp, sample_body, (zeros, zeros, zeros)
+    )
+    inv = np.float32(1.0) / np.float32(cfg.spp)
+    out[0:1, :] = acc_r * inv
+    out[1:2, :] = acc_g * inv
+    out[2:3, :] = acc_b * inv
+    out[3:4, :] = jnp.zeros_like(acc_r)
+
+
+def quality_table(scene):
+    """(T, 24) table: conformance cols 0..17 + prob/area/cdf (18..20)."""
+    from spath_tpu.ops.nee import light_cdf, triangle_areas
+    from spath_tpu.ops.pallas.megakernel import _scene_table
+
+    base = _scene_table(scene)[:, :18]
+    cdf, prob = light_cdf(scene)
+    area = triangle_areas(scene)
+    pad = jnp.zeros((scene.n_tris, 3), jnp.float32)
+    return jnp.concatenate(
+        [base, prob[:, None], area[:, None], cdf[:, None], pad], axis=1
+    )
+
+
+def supported(scene, cfg: RenderConfig) -> bool:
+    return (
+        scene.n_tris <= MAX_TRIS
+        and cfg.rng == "hash"
+        and cfg.sampler == "cosine"
+        and cfg.rr_start == 0
+        and not cfg.stratify
+    )
+
+
+def render_radiance_quality_megakernel(scene, camera, cfg: RenderConfig,
+                                       seed=0):
+    """Unclamped mean radiance ``(H, W, 3)`` via the fused quality kernel.
+
+    Forward-only; hash-RNG cosine(+NEE/MIS) estimator — see ``supported``.
+    """
+    from spath_tpu.ops.pallas.megakernel import pack_rays
+
+    if not supported(scene, cfg):
+        raise ValueError(
+            "quality megakernel needs rng='hash', sampler='cosine', "
+            "T <= MAX_TRIS")
+    rays, pix, n = pack_rays(camera, cfg, 0)
+    keys = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix
+    tri = quality_table(scene)
+    np_ = rays.shape[1]
+    kernel = functools.partial(_quality_kernel, cfg=cfg,
+                               n_tris=scene.n_tris)
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // TILE_N,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((4, TILE_N), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
+    )(rays, keys, tri)
+    return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

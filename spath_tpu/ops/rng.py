@@ -122,3 +122,67 @@ def per_pixel_uniforms(key: jax.Array, pixel_ids: jax.Array, n_draws: int):
         keys
     )
     return us.T
+
+
+# ---------------------------------------------------------------------------
+# Counter-based hash RNG ("hash" mode): murmur3-finalizer streams keyed by
+# (seed, pixel, sample, bounce, draw). Unlike threefry it costs ~10 VPU
+# integer ops per draw and is trivially expressible inside a Pallas
+# kernel, so the fused quality megakernel and the XLA wavefront can draw
+# IDENTICAL randoms (the same property the LCG gives conformance mode).
+# Like threefry, streams are keyed by global pixel id -> bit-identical
+# under any sharding of the wavefront.
+# ---------------------------------------------------------------------------
+
+_H_GOLD = np.uint32(0x9E3779B9)
+_H_M1 = np.uint32(0x85EBCA6B)
+_H_M2 = np.uint32(0xC2B2AE35)
+_H_C1 = np.uint32(0x27D4EB2F)
+_H_C2 = np.uint32(0x165667B1)
+_H_C3 = np.uint32(0xD3A2646C)
+
+
+def _fmix32(h):
+    """murmur3 finalizer: a full-avalanche 32-bit mixer."""
+    h = h ^ (h >> np.uint32(16))
+    h = h * _H_M1
+    h = h ^ (h >> np.uint32(13))
+    h = h * _H_M2
+    return h ^ (h >> np.uint32(16))
+
+
+def hash_u32(seed, pixel, sample, bounce, draw):
+    """Stateless uint32 stream value at counter (sample, bounce, draw).
+
+    All args uint32 scalars/arrays (broadcasting). Two mixer rounds give
+    full avalanche between any pair of counters.
+    """
+    h = seed.astype(jnp.uint32) * _H_GOLD + pixel.astype(jnp.uint32)
+    h = _fmix32(h)
+    h = h + (
+        sample.astype(jnp.uint32) * _H_C1
+        + bounce.astype(jnp.uint32) * _H_C2
+        + draw.astype(jnp.uint32) * _H_C3
+    )
+    return _fmix32(h)
+
+
+def hash_uniform(seed, pixel, sample, bounce, draw):
+    """float32 uniform in [0, 1) from ``hash_u32``.
+
+    Uses the top-ish 24 bits so the u32->f32 conversion can round-trip
+    through int32 (Mosaic has no unsigned casts), exactly matching the
+    in-kernel implementation.
+    """
+    bits = hash_u32(seed, pixel, sample, bounce, draw) >> np.uint32(8)
+    return bits.astype(jnp.int32).astype(jnp.float32) * np.float32(2.0**-24)
+
+
+def hash_uniforms(seed, pixel_ids, sample, bounce, n_draws: int):
+    """``(n_draws, N)`` float32 uniforms for one (sample, bounce) step."""
+    s = jnp.asarray(sample)
+    b = jnp.asarray(bounce)
+    return jnp.stack([
+        hash_uniform(jnp.asarray(seed), pixel_ids, s, b, jnp.uint32(d))
+        for d in range(n_draws)
+    ])
