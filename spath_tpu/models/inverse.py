@@ -75,7 +75,12 @@ def render_loss(
 
         img = render_radiance_sharded(scene, cam, cfg, seed, mesh)
     else:
-        img = render_radiance(scene, cam, cfg, seed)
+        # Fused-megakernel custom VJP when the config fits (TPU,
+        # lcg/hash estimators) — ~10x faster train steps — else the XLA
+        # wavefront. Same values, same detached-sampling gradients.
+        from spath_tpu.models.pathtracer import render_radiance_fastgrad
+
+        img = render_radiance_fastgrad(scene, cam, cfg, seed)
     return jnp.mean((img - target) ** 2)
 
 

@@ -429,11 +429,14 @@ def render_radiance_fastgrad(
     transpose of the wavefront program (~10x faster fwd+bwd at 1080p).
     Falls back to ``render_radiance`` everywhere else.
     """
-    from spath_tpu.ops.pallas import megakernel_grad
+    from spath_tpu.ops.pallas import megakernel_grad, megakernel_quality_grad
 
     on_accel = jax.devices()[0].platform != "cpu"
     if on_accel and megakernel_grad.supported_grad(scene, cfg):
         return megakernel_grad.render_radiance_mega(scene, camera, cfg, seed)
+    if on_accel and megakernel_quality_grad.supported_grad(scene, cfg):
+        return megakernel_quality_grad.render_radiance_quality_grad(
+            scene, camera, cfg, seed)
     return render_radiance(scene, camera, cfg, seed)
 
 

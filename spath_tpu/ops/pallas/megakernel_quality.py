@@ -56,6 +56,14 @@ _C3 = np.uint32(0xD3A2646C)
 _COL_PROB, _COL_AREA, _COL_CDF = 18, 19, 20
 
 
+def _detach(x):
+    """``stop_gradient`` — a no-op for the forward kernel, but it makes
+    ``jax.grad`` of the (eagerly run) kernel body implement exactly the
+    wavefront's detached-sampling policy, which is how the hand-written
+    backward kernel is verified (see megakernel_grad.py)."""
+    return lax.stop_gradient(x)
+
+
 def _fmix(h):
     h = h ^ (h >> np.uint32(16))
     h = h * _M1
@@ -97,18 +105,35 @@ def _select_light(tri, u_sel, n_tris):
     return jnp.minimum(cnt, n_tris - 1)
 
 
-def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
-                    n_tris: int):
+def _make_ctx(rays, keys, tri, cfg: RenderConfig, n_tris: int):
+    """Per-tile trace context shared by the forward and backward kernels."""
     ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx0, dy0, dz0 = rays[3:4, :], rays[4:5, :], rays[5:6, :]
     src0 = jnp.full_like(ox0, -1.0).astype(jnp.int32)
-    fh_d, fh_i = _nearest(ox0, oy0, oz0, dx0, dy0, dz0, src0, tri, n_tris)
-    h0 = keys[0:1, :]
+    fh = _nearest(ox0, oy0, oz0, dx0, dy0, dz0, src0, tri, n_tris)
+    return dict(
+        o0=(ox0, oy0, oz0), d0=(dx0, dy0, dz0), src0=src0, fh=fh,
+        h0=keys[0:1, :], tri=tri, cfg=cfg, n_tris=n_tris,
+    )
+
+
+def _sample_walk(s, ctx):
+    """One sample's full bounce walk for every lane of the tile.
+
+    Returns ``(rad_r, rad_g, rad_b, saved)`` where ``saved`` is a list of
+    per-bounce dicts holding everything the reverse sweep needs. The
+    forward kernel discards ``saved`` (XLA dead-code-eliminates it); the
+    backward kernel replays this exact function, so forward and replay
+    are the same traced computation by construction.
+    """
+    cfg, tri, n_tris = ctx["cfg"], ctx["tri"], ctx["n_tris"]
+    (ox0, oy0, oz0), (dx0, dy0, dz0) = ctx["o0"], ctx["d0"]
+    src0, (fh_d, fh_i), h0 = ctx["src0"], ctx["fh"], ctx["h0"]
     use_mis = cfg.nee and cfg.mis
     n_draws = 5 if cfg.nee else 2
+    saved = []
 
-    def sample_body(s, carry):
-        acc_r, acc_g, acc_b = carry
+    if True:  # keep the historical indentation of the bounce walk
         ox, oy, oz = ox0, oy0, oz0
         dx, dy, dz = dx0, dy0, dz0
         src = src0
@@ -158,10 +183,10 @@ def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
                         hprob / jnp.maximum(harea, np.float32(1e-20))
                     ) * dmin * dmin / jnp.maximum(cos_l_hit,
                                                   np.float32(1e-6))
-                    w_b = prev_pdf * prev_pdf / jnp.maximum(
+                    w_b = _detach(prev_pdf * prev_pdf / jnp.maximum(
                         prev_pdf * prev_pdf + p_nee_here * p_nee_here,
                         np.float32(1e-30),
-                    )
+                    ))
                 else:
                     w_b = jnp.zeros_like(ox)   # pure NEE drops them
                 rad_r = rad_r + jnp.where(hit, tr_r * er * w_b, 0.0)
@@ -187,9 +212,11 @@ def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
             btz = -any_
             cp = jnp.cos(phi) * r_
             sp = jnp.sin(phi) * r_
-            ndx = tx * cp + btx * sp + anx * z_
-            ndy = ty * cp + bty * sp + any_ * z_
-            ndz = tz * cp + btz * sp + anz * z_
+            # detached sampling: the bounce direction is a constant of
+            # the backward pass (models/pathtracer.py policy)
+            ndx = _detach(tx * cp + btx * sp + anx * z_)
+            ndy = _detach(ty * cp + bty * sp + any_ * z_)
+            ndz = _detach(tz * cp + btz * sp + anz * z_)
 
             # --- NEE direct light (ops/nee.py::direct_light) ---
             if cfg.nee:
@@ -222,7 +249,9 @@ def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
                     & (li != safe_src)
                 )
                 g = cos_s * cos_l / jnp.maximum(r2, np.float32(1e-12))
-                wgt = larea / jnp.maximum(lprob, np.float32(1e-20))
+                # selection probability is detached (light_cdf policy)
+                wgt = larea / jnp.maximum(_detach(lprob),
+                                          np.float32(1e-20))
                 scale = g * wgt * _INV_PI
                 if use_mis:
                     p_nee = (
@@ -230,14 +259,37 @@ def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
                     ) * jnp.minimum(r2, np.float32(1e12)) / jnp.maximum(
                         cos_l, np.float32(1e-6))
                     p_bsdf = jnp.maximum(cos_s, 0.0) * _INV_PI
-                    scale = scale * (p_nee * p_nee / jnp.maximum(
+                    misw = _detach(p_nee * p_nee / jnp.maximum(
                         p_nee * p_nee + p_bsdf * p_bsdf,
                         np.float32(1e-30)))
+                else:
+                    misw = jnp.ones_like(ox)
+                scale = scale * misw
                 ok = hit & valid
                 rad_r = rad_r + jnp.where(ok, tr_r * ar * lemr * scale, 0.0)
                 rad_g = rad_g + jnp.where(ok, tr_g * ag * lemg * scale, 0.0)
                 rad_b = rad_b + jnp.where(
                     ok, tr_b * ab_ * lemb * scale, 0.0)
+
+            # Reverse-sweep state. The surface-triangle geometry gather
+            # exists ONLY here, so the forward kernel (which discards
+            # `saved`) never pays for it.
+            sv = dict(
+                o=(ox, oy, oz), d=(dx, dy, dz), dist=dist, idx=idx,
+                hit=hit, tr=(tr_r, tr_g, tr_b), alb=(ar, ag, ab_),
+                emi=(er, eg, eb_), an=(anx, any_, anz),
+                fs=jnp.where(flip, -1.0, 1.0).astype(jnp.float32),
+                geo=_gather_cols(tri, idx, tuple(range(9)), n_tris),
+            )
+            if cfg.nee:
+                sv.update(
+                    w_b=w_b, ok=ok,
+                    lv0=(lv0x, lv0y, lv0z), le1=(le1x, le1y, le1z),
+                    le2=(le2x, le2y, le2z), ln=(lnx, lny, lnz),
+                    lem=(lemr, lemg, lemb), lprob=lprob, larea=larea,
+                    li=li, b1=b1, b2=b2, misw=misw,
+                )
+            saved.append(sv)
 
             # --- advance (cosine weight = 1: pdf cancels BRDF·cosθ) ---
             tr_r = jnp.where(hit, tr_r * ar, tr_r)
@@ -253,11 +305,21 @@ def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
             alive = hit
             if use_mis:
                 cos_next = ndx * anx + ndy * any_ + ndz * anz
-                prev_pdf = jnp.maximum(cos_next, 0.0) * _INV_PI
+                prev_pdf = _detach(jnp.maximum(cos_next, 0.0) * _INV_PI)
 
+    return rad_r, rad_g, rad_b, saved
+
+
+def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
+                    n_tris: int):
+    ctx = _make_ctx(rays, keys, tri, cfg, n_tris)
+
+    def sample_body(s, carry):
+        acc_r, acc_g, acc_b = carry
+        rad_r, rad_g, rad_b, _ = _sample_walk(s, ctx)
         return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
 
-    zeros = jnp.zeros_like(ox0)
+    zeros = jnp.zeros_like(ctx["o0"][0])
     acc_r, acc_g, acc_b = lax.fori_loop(
         0, cfg.spp, sample_body, (zeros, zeros, zeros)
     )
