@@ -59,7 +59,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--mode", choices=["conformance", "quality"],
                    default="conformance",
                    help="conformance = reference LCG+angle sampler; "
-                        "quality = threefry+cosine+NEE")
+                        "quality = cosine+NEE (counter-based RNG)")
+    p.add_argument("--rng", choices=["hash", "threefry"], default="hash",
+                   help="quality-mode RNG: 'hash' (default — enables the "
+                        "fused quality megakernels) or 'threefry' "
+                        "(jax.random). Conformance mode is always the "
+                        "reference LCG.")
     p.add_argument("--intersect",
                    choices=["reference", "pluecker", "pallas", "pallas_fast"],
                    default=None,
@@ -112,7 +117,7 @@ def _build(args):
     if args.mode == "quality":
         cfg = RenderConfig(
             width=w, height=h, spp=args.spp, max_bounces=args.bounces,
-            rng="threefry", sampler="cosine", nee=True,
+            rng=getattr(args, "rng", "hash"), sampler="cosine", nee=True,
             intersect=args.intersect or "pluecker",
             rr_start=getattr(args, "rr_start", 0),
             stratify=getattr(args, "stratify", False),
@@ -165,6 +170,10 @@ def cmd_render(args) -> int:
         from spath_tpu.models.flat import render_flat
         from spath_tpu.models.pathtracer import render_pt
 
+        if args.flat and args.tonemap != "clamp":
+            raise SystemExit(
+                "--tonemap operators need HDR radiance; the flat debug "
+                "view is already LDR (drop --flat or --tonemap)")
         if args.flat:
             img = np.asarray(
                 jax.jit(render_flat, static_argnames=("cfg",))(scene, cam, cfg)

@@ -69,11 +69,11 @@ class RenderConfig:
         throughput (clamped to [0.05, 1]) and surviving paths are
         reweighted by 1/q — the unbiased way to run deep ``max_bounces``
         without paying full variance-free depth everywhere. Requires
-        rng="threefry" (needs one extra uniform per bounce). Termination
-        decisions are detached from gradients.
+        rng="threefry" or "hash" (needs one extra uniform per bounce).
+        Termination decisions are detached from gradients.
       stratify: stratify the first-bounce azimuth uniform across the spp
         samples (u -> (s + u)/spp) — lower variance at equal spp, exact
-        same estimator in expectation. Requires rng="threefry".
+        same estimator in expectation. Requires rng="threefry" or "hash".
       remat: rematerialize each sample's trace in the backward pass
         (``jax.checkpoint`` on the sample-scan body). Essential at high
         spp: without it every sample's per-bounce residuals live until

@@ -245,6 +245,8 @@ def supported(scene, cfg: RenderConfig) -> bool:
         and cfg.rng == "lcg"
         and cfg.sampler == "angle"
         and not cfg.nee
+        and cfg.rr_start == 0
+        and not cfg.stratify
     )
 
 

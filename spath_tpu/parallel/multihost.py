@@ -38,8 +38,9 @@ def init_multihost(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except ValueError:
-        # Already initialized or single-process environment.
+    except (ValueError, RuntimeError):
+        # Single-process environment (ValueError) or already initialized
+        # (RuntimeError in current JAX) — both mean "nothing to do".
         pass
 
 

@@ -164,21 +164,32 @@ def loads_ply(text: str) -> Scene:
     has_rgb = all(c in fp for c in ("red", "green", "blue"))
 
     verts = np.empty((n_v, 3), np.float32)
-    for i in range(n_v):
-        parts = next(lines).split()
-        verts[i] = [float(parts[xi]), float(parts[yi]), float(parts[zi])]
     tris: list[tuple[int, int, int]] = []
     cols: list[tuple[float, float, float]] = []
-    for _ in range(n_f):
-        parts = next(lines).split()
-        k = int(parts[0])
-        idx = [int(x) for x in parts[1:1 + k]]
-        col = DEFAULT_ALBEDO
-        if has_rgb and len(parts) >= 1 + k + 3:
-            col = tuple(float(c) / 255.0 for c in parts[1 + k:4 + k])
-        for j in range(1, k - 1):
-            tris.append((idx[0], idx[j], idx[j + 1]))
-            cols.append(col)
+    # Walk the data rows in the header's element order; rows of elements
+    # other than vertex/face (edge, material, ...) are skipped, so files
+    # with extra elements or a face-before-vertex order parse correctly.
+    for name, count in elems:
+        if name == "vertex":
+            for i in range(count):
+                parts = next(lines).split()
+                verts[i] = [float(parts[xi]), float(parts[yi]),
+                            float(parts[zi])]
+        elif name == "face":
+            for _ in range(count):
+                parts = next(lines).split()
+                k = int(parts[0])
+                idx = [int(x) for x in parts[1:1 + k]]
+                col = DEFAULT_ALBEDO
+                if has_rgb and len(parts) >= 1 + k + 3:
+                    col = tuple(
+                        float(c) / 255.0 for c in parts[1 + k:4 + k])
+                for j in range(1, k - 1):
+                    tris.append((idx[0], idx[j], idx[j + 1]))
+                    cols.append(col)
+        else:
+            for _ in range(count):
+                next(lines)
     if not tris:
         raise ValueError("PLY contains no faces")
     f = np.asarray(tris, np.int64)

@@ -92,6 +92,37 @@ def test_ply_with_face_colors():
     np.testing.assert_array_equal(np.asarray(s.emission), 0.0)
 
 
+PLY_EXTRA_ELEM = """ply
+format ascii 1.0
+element vertex 3
+property float x
+property float y
+property float z
+element edge 2
+property int vertex1
+property int vertex2
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+0 1 0
+0 1
+1 2
+3 0 1 2
+"""
+
+
+def test_ply_extra_elements_skipped():
+    """Elements other than vertex/face (here: edge) are skipped in
+    header order rather than misparsed as face rows."""
+    s = loads_ply(PLY_EXTRA_ELEM)
+    assert s.n_tris == 1
+    np.testing.assert_allclose(
+        np.asarray(s.vertices)[0],
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]], atol=1e-6)
+
+
 def test_loaders_reject_garbage():
     with pytest.raises(ValueError):
         loads_obj("v 0 0 0\n")            # no faces
