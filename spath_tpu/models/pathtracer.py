@@ -395,15 +395,27 @@ def _trace_compact_jit(scene, origins, directions, dist0, idx0, seed, cfg,
     )
 
 
-def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0):
+def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0,
+                   mesh=None):
     """Fastest forward-only render (serving path).
 
     Uses the fused whole-frame megakernel when the config supports it
     (conformance estimator, small triangle count, TPU backend — 5× the
     XLA wavefront at 1080p), otherwise the stream-compacted wavefront.
     Not differentiable; use ``render_pt`` under ``jax.grad``.
+
+    ``mesh``: render pixel-sharded over the ``rays`` axis of a device
+    mesh — each device runs the SAME fused kernel on its ray shard with
+    the scene table replicated (``parallel.shard_fast``), bit-identical
+    to the single-device output.
     """
-    from spath_tpu.ops.pallas import megakernel, megakernel_quality
+    if mesh is not None:
+        from spath_tpu.parallel.shard_fast import render_pt_fast_sharded
+
+        return render_pt_fast_sharded(scene, camera, cfg, seed, mesh)
+    from spath_tpu.ops.pallas import (
+        megakernel, megakernel_bigscene, megakernel_quality,
+    )
 
     on_accel = jax.devices()[0].platform != "cpu"
     if on_accel and megakernel.supported(scene, cfg):
@@ -411,13 +423,19 @@ def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0):
     elif on_accel and megakernel_quality.supported(scene, cfg):
         rad = megakernel_quality.render_radiance_quality_megakernel(
             scene, camera, cfg, seed)
+    elif on_accel and megakernel_bigscene.supported(scene, cfg):
+        # Large scenes: the HBM-streamed MXU megakernel (conformance
+        # estimator, T up to BIG_MAX_TRIS).
+        rad = megakernel_bigscene.render_radiance_bigscene(
+            scene, camera, cfg, seed,
+            fast=(cfg.intersect == "pallas_fast"))
     else:
         rad = render_radiance_compact(scene, camera, cfg, seed)
     return jnp.clip(rad, 0.0, 1.0)
 
 
 def render_radiance_fastgrad(
-    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0, mesh=None
 ) -> jax.Array:
     """Differentiable radiance, fused-kernel VJP when supported.
 
@@ -428,8 +446,21 @@ def render_radiance_fastgrad(
     reverse sweep in ``ops/pallas/megakernel_grad`` instead of XLA's
     transpose of the wavefront program (~10x faster fwd+bwd at 1080p).
     Falls back to ``render_radiance`` everywhere else.
+
+    ``mesh``: shard pixels over the ``rays`` axis — every device runs
+    the fused forward/backward kernels on its shard and the scene-table
+    adjoint is psum'd across the mesh (``parallel.shard_fast``).
     """
-    from spath_tpu.ops.pallas import megakernel_grad, megakernel_quality_grad
+    if mesh is not None:
+        from spath_tpu.parallel.shard_fast import (
+            render_radiance_fastgrad_sharded,
+        )
+
+        return render_radiance_fastgrad_sharded(scene, camera, cfg, seed,
+                                                mesh)
+    from spath_tpu.ops.pallas import (
+        megakernel_bigscene_grad, megakernel_grad, megakernel_quality_grad,
+    )
 
     on_accel = jax.devices()[0].platform != "cpu"
     if on_accel and megakernel_grad.supported_grad(scene, cfg):
@@ -437,6 +468,12 @@ def render_radiance_fastgrad(
     if on_accel and megakernel_quality_grad.supported_grad(scene, cfg):
         return megakernel_quality_grad.render_radiance_quality_grad(
             scene, camera, cfg, seed)
+    if on_accel and megakernel_bigscene_grad.supported_grad(scene, cfg):
+        # Large scenes (64 < T <= BIG_GRAD_MAX_TRIS): streamed fused
+        # forward + MXU scatter-add reverse sweep.
+        return megakernel_bigscene_grad.render_radiance_bigscene_grad(
+            scene, camera, cfg, seed,
+            fast=(cfg.intersect == "pallas_fast"))
     return render_radiance(scene, camera, cfg, seed)
 
 

@@ -250,19 +250,20 @@ def supported(scene, cfg: RenderConfig) -> bool:
     )
 
 
-def pack_rays(camera, cfg: RenderConfig, seed):
+def pack_rays(camera, cfg: RenderConfig, seed, lane_multiple: int = TILE_N):
     """Camera → padded ``(8, Np)`` ray rows + ``(1, Np)`` seed row.
 
     Differentiable in the camera (the concatenate/pad/transpose chain
     transposes cleanly), shared by the forward-only and custom-VJP entry
     points. Returns ``(rays, seeds, n)`` with ``Np = n`` padded up to a
-    multiple of ``TILE_N``.
+    multiple of ``lane_multiple`` (``n_devices·TILE_N`` for the sharded
+    fused path, so every device shard is whole tiles).
     """
     from spath_tpu.camera import generate_rays
 
     o, d = generate_rays(camera, cfg.width, cfg.height)
     n = o.shape[0]
-    pad = (-n) % TILE_N
+    pad = (-n) % lane_multiple
     o = jnp.pad(o, ((0, pad), (0, 0)))
     d = jnp.pad(d, ((0, pad), (0, 0)))
     rays = jnp.concatenate([o.T, d.T, jnp.zeros((2, n + pad))], axis=0)

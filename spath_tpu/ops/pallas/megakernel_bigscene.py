@@ -1,0 +1,410 @@
+"""Large-scene fused path tracer: whole frame in ONE Pallas launch with
+the triangle list STREAMED from HBM through the MXU.
+
+The small-scene megakernel (``megakernel.py``) walks a ≤1024-triangle
+SMEM table with a scalar loop — O(T) VPU work per ray per bounce, which
+is the right shape at 7 triangles and hopeless at 10k+. This kernel is
+the large-T design (BASELINE config 4: 10k–100k triangles, brute force
+— the semantics of ``src/cpu_renderer.cpp:39-49``):
+
+  * rays live on lanes, exactly like the small kernel — all shading,
+    RNG, and sampling code is (1, TILE_R) row work on the VPU;
+  * per bounce, the nearest-hit sweep transposes the ray state into a
+    ``(TILE_R, 16)`` Plücker feature matrix and runs the SAME
+    matmul-formulated Möller–Trumbore as ``intersect_pallas.py`` over
+    ``(16, TILE_T)`` triangle feature blocks, double-buffer-DMA'd
+    HBM→VMEM — the MXU does the O(N·T) work, and triangles never touch
+    SMEM, so T is bounded by HBM, not by on-chip memory;
+  * the per-triangle shading attributes (normal/albedo/emission) are
+    gathered IN the sweep: each block's argmin one-hot is matmul'd with
+    the block's attribute rows (exact: one nonzero per row), so no
+    O(T) gather loop exists anywhere.
+
+Estimator: the conformance one (per-pixel LCG streams, angle-uniform
+sampler, forward-throughput radiance) — bit-compatible with the XLA
+wavefront at ``intersect='pallas'`` (identical 6-pass fp32 dots and
+sign-aware epilogue; ``fast=True`` uses the 3-pass hi/lo split of
+``intersect_pallas._dot_split``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spath_tpu.config import EPSILON, MAX_DIST, RenderConfig
+from spath_tpu.ops.pallas.intersect_pallas import (
+    _dot_f32,
+    _dot_split,
+    _tri_features,
+)
+from spath_tpu.ops.pallas.megakernel import _lcg
+
+_EPS = np.float32(EPSILON)
+_INV_EPS = np.float32(1.0 / EPSILON)
+_BIG = np.float32(MAX_DIST)
+_PI = np.float64(np.arccos(-1.0))
+
+#: rays per grid step (lanes of every (1, TILE_R) row)
+TILE_R = 1024
+#: triangles per streamed block; (TILE_R, TILE_T) f32 intermediates are
+#: 1 MB each — the VMEM budget is ~4 live quads + dist + one-hot.
+TILE_T = 256
+_K = 16
+#: packed feature-block rows per streamed block: 4 quantities
+#: (a, u_num, v_num, d_num) × TILE_T triangles, K padded 16 -> 128
+_QK = 128
+#: attribute columns: n(0:3) albedo(3:6) emission(6:9) pad(9:16)
+_ACOLS = 16
+
+#: forward cap — HBM-bound only; kept finite for padding sanity.
+BIG_MAX_TRIS = 1 << 20
+#: backward cap — the (T, 16) adjoint accumulator stays VMEM-resident
+#: (16k × 64 B = 1 MB).
+BIG_GRAD_MAX_TRIS = 16384
+
+
+def _hilo(x):
+    """Exact hi/lo split: x == hi + lo with hi = bf16(x)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _gather_dot(attr_rows, onehot):
+    """Exact one-hot gather as two bf16 matmuls:
+    ``(ACOLS, TILE_T) @ (TILE_T, R) -> (ACOLS, R)`` attribute rows.
+
+    Each output element has exactly ONE nonzero product (the argmin
+    column), so the hi + lo split reconstructs the float32 attribute
+    bit-exactly with no accumulation rounding.
+    """
+    hi, lo = _hilo(attr_rows)
+    oh = onehot.astype(jnp.bfloat16)
+    return (
+        jnp.dot(hi, oh, preferred_element_type=jnp.float32)
+        + jnp.dot(lo, oh, preferred_element_type=jnp.float32)
+    )
+
+
+def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
+           sems, *, n_blocks: int, dot):
+    """Nearest hit + attribute gather of every lane against ALL streamed
+    triangle blocks.
+
+    Row (1, TILE_R) ray state in; returns (best_d row, best_i row,
+    attr rows (ACOLS, TILE_R)). The block loop double-buffers the
+    feature/attribute DMAs against the matmuls.
+
+    Layout: the whole sweep lives in "triangles on sublanes × rays on
+    lanes" orientation so that NOTHING is ever transposed — Mosaic
+    relayouts of (R, TILE_T) blocks cost more than the matmuls, and
+    transposes of narrow reductions drag i1 masks through illegal
+    transposes. Each streamed block is ONE packed
+    ``(4·TILE_T, 128) @ (128, R)`` MXU matmul (K padded 16 -> 128 with
+    zero feature rows — the MXU is output-rate-bound at this aspect, so
+    the padding is free and keeps every slice tile-aligned); the
+    min/argmin reduce along SUBLANES so results are lane-native (1, R)
+    rows, with the argmin as a min-over-tied-indices (the XLA path's
+    lowest-index tie-break).
+    """
+    # (128, R) ray feature matrix [dir, pos x dir, pos, 1, 0...] — the
+    # Pluecker factorization of ops/intersect.py::pluecker_features.
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    ones = jnp.ones_like(ox)
+    zeros = jnp.zeros_like(ox)
+    feat_t = jnp.concatenate(
+        [dx, dy, dz, mx, my, mz, ox, oy, oz, ones]
+        + [zeros] * (_QK - 10),
+        axis=0,
+    )                                        # (128, R)
+
+    r = ox.shape[1]
+    best_d0 = jnp.full((1, r), _BIG, jnp.float32)
+    best_i0 = jnp.full((1, r), -1, jnp.int32)
+    best_a0 = jnp.zeros((_ACOLS, r), jnp.float32)
+
+    def dma(slot, j):
+        return (
+            pltpu.make_async_copy(
+                gfeat_hbm.at[pl.ds(j * 4 * TILE_T, 4 * TILE_T), :],
+                gbuf.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                attrs_hbm.at[:, pl.ds(j * TILE_T, TILE_T)],
+                abuf.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    for d_ in dma(0, 0):
+        d_.start()
+
+    def body(j, carry):
+        best_d, best_i, best_a = carry
+        slot = lax.rem(j, 2)
+        nxt = lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < n_blocks)
+        def _prefetch():
+            for d_ in dma(nxt, j + 1):
+                d_.start()
+
+        for d_ in dma(slot, j):
+            d_.wait()
+
+        quads = dot(gbuf[slot], feat_t)      # (4·TILE_T, R)
+        a = quads[0:TILE_T]
+        u = quads[TILE_T:2 * TILE_T]
+        v = quads[2 * TILE_T:3 * TILE_T]
+        dd = quads[3 * TILE_T:4 * TILE_T]
+
+        abs_a = jnp.abs(a)
+        sgn = jnp.sign(a)
+        us = u * sgn
+        vs = v * sgn
+        ds = dd * sgn
+        valid = (
+            (abs_a >= _EPS)
+            & (us >= 0.0) & (us <= abs_a)
+            & (vs >= 0.0) & (us + vs <= abs_a)
+            & (ds > _EPS * abs_a) & (ds < _INV_EPS * abs_a)
+        )
+        loc_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_T, r), 0)       # local triangle index
+        valid &= (loc_iota + j * TILE_T) != src
+        dist = ds / jnp.where(abs_a > 0.0, abs_a, jnp.float32(1.0))
+        dist = jnp.where(valid, dist, _BIG)
+
+        blk_d = jnp.min(dist, axis=0, keepdims=True)          # (1, R)
+        loc = jnp.min(
+            jnp.where(dist == blk_d, loc_iota, TILE_T),
+            axis=0, keepdims=True,
+        )                                                     # (1, R)
+        loc = jnp.where(blk_d < _BIG, loc, -1)
+        onehot = loc_iota == loc                      # (TILE_T, R)
+        blk_a = _gather_dot(abuf[slot], onehot.astype(jnp.float32))
+
+        better = blk_d < best_d      # strict: earlier block wins ties
+        return (
+            jnp.where(better, blk_d, best_d),
+            jnp.where(better, loc + j * TILE_T, best_i),
+            jnp.where(better, blk_a, best_a),
+        )
+
+    best_d, best_i, best_a = lax.fori_loop(
+        0, n_blocks, body, (best_d0, best_i0, best_a0)
+    )
+    return best_d, best_i, best_a      # rows: (1,R) (1,R) (ACOLS,R)
+
+
+def _shade_rows(attr_rows):
+    """Split gathered attribute rows into per-quantity (1, R) rows."""
+    return [attr_rows[c:c + 1, :] for c in range(9)]
+
+
+def _bigscene_walk(rays, seeds, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
+                   *, cfg: RenderConfig, n_blocks: int, fast: bool):
+    """Shared forward walk: (acc_r, acc_g, acc_b) rows after the spp
+    loop. The backward kernel replays the same per-sample walk (see
+    megakernel_bigscene_grad)."""
+    dot = _dot_split if fast else _dot_f32
+    sweep = functools.partial(
+        _sweep, gfeat_hbm=gfeat_hbm, attrs_hbm=attrs_hbm,
+        gbuf=gbuf, abuf=abuf, sems=sems, n_blocks=n_blocks, dot=dot,
+    )
+
+    ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx0, dy0, dz0 = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    src0 = jnp.full_like(ox0, -1.0).astype(jnp.int32)
+
+    # Camera rays are identical for every sample: hoist their sweep.
+    fh_d, fh_i, fh_a = sweep(ox0, oy0, oz0, dx0, dy0, dz0, src0)
+
+    def sample_body(_, carry):
+        seed, acc_r, acc_g, acc_b = carry
+        ox, oy, oz = ox0, oy0, oz0
+        dx, dy, dz = dx0, dy0, dz0
+        src = src0
+        alive = jnp.ones_like(ox, dtype=jnp.bool_)
+        thr_r = jnp.ones_like(ox)
+        thr_g = jnp.ones_like(ox)
+        thr_b = jnp.ones_like(ox)
+        rad_r = jnp.zeros_like(ox)
+        rad_g = jnp.zeros_like(ox)
+        rad_b = jnp.zeros_like(ox)
+
+        for bounce in range(cfg.max_bounces):
+            if bounce == 0:
+                dist, idx, attr = fh_d, fh_i, fh_a
+            else:
+                dist, idx, attr = sweep(ox, oy, oz, dx, dy, dz, src)
+            hit = alive & (idx >= 0)
+            nx, ny, nz, ar, ag, ab, er, eg, eb = _shade_rows(attr)
+
+            flip = nx * dx + ny * dy + nz * dz > 0.0
+            nx = jnp.where(flip, -nx, nx)
+            ny = jnp.where(flip, -ny, ny)
+            nz = jnp.where(flip, -nz, nz)
+
+            # LCG draws; state advances only on hits (conformance).
+            s1, u1 = _lcg(seed)
+            s2, u2 = _lcg(s1)
+            seed = jnp.where(hit, s2, seed)
+
+            # angle-uniform sampler (src/geom.h:164-177)
+            az = u1 * np.float32(2.0 * _PI)
+            el = u2 * np.float32(0.5 * _PI)
+            fx = jnp.cos(el)
+            sx_ = jnp.cos(az) * fx
+            sy_ = jnp.sin(el)
+            sz_ = jnp.sin(az) * fx
+            aligned = nx * sx_ + ny * sy_ + nz * sz_ >= 0.0
+            sgn = jnp.where(aligned, 1.0, -1.0).astype(jnp.float32)
+            ndx, ndy, ndz = sx_ * sgn, sy_ * sgn, sz_ * sgn
+            cos_t = ndx * nx + ndy * ny + ndz * nz
+            w = jnp.float32(2.0) * cos_t
+
+            rad_r = rad_r + jnp.where(hit, thr_r * er, 0.0)
+            rad_g = rad_g + jnp.where(hit, thr_g * eg, 0.0)
+            rad_b = rad_b + jnp.where(hit, thr_b * eb, 0.0)
+            thr_r = jnp.where(hit, thr_r * ar * w, thr_r)
+            thr_g = jnp.where(hit, thr_g * ag * w, thr_g)
+            thr_b = jnp.where(hit, thr_b * ab * w, thr_b)
+
+            ox = jnp.where(hit, ox + dist * dx, ox)
+            oy = jnp.where(hit, oy + dist * dy, oy)
+            oz = jnp.where(hit, oz + dist * dz, oz)
+            dx = jnp.where(hit, ndx, dx)
+            dy = jnp.where(hit, ndy, dy)
+            dz = jnp.where(hit, ndz, dz)
+            src = jnp.where(hit, idx, src)
+            alive = hit
+
+        return (seed, acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
+
+    seed0 = seeds[0:1, :]
+    zeros = jnp.zeros_like(ox0)
+    _, acc_r, acc_g, acc_b = lax.fori_loop(
+        0, cfg.spp, sample_body, (seed0, zeros, zeros, zeros)
+    )
+    return acc_r, acc_g, acc_b
+
+
+def _bigscene_kernel(rays, seeds, gfeat_hbm, attrs_hbm, out, gbuf, abuf,
+                     sems, *, cfg: RenderConfig, n_blocks: int,
+                     fast: bool):
+    acc_r, acc_g, acc_b = _bigscene_walk(
+        rays, seeds, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
+        cfg=cfg, n_blocks=n_blocks, fast=fast,
+    )
+    inv = np.float32(1.0) / np.float32(cfg.spp)
+    out[0:1, :] = acc_r * inv
+    out[1:2, :] = acc_g * inv
+    out[2:3, :] = acc_b * inv
+    out[3:4, :] = jnp.zeros_like(acc_r)
+
+
+def bigscene_tables(scene):
+    """Build the streamed tables from a scene (differentiable).
+
+    Returns ``(gfeat (4·Tp, 128), attrs (ACOLS, Tp), n_blocks)`` with Tp
+    padded to TILE_T by degenerate always-miss triangles. Feature block
+    ``j`` occupies gfeat rows ``[4·TILE_T·j, 4·TILE_T·(j+1))`` as
+    [a | u_num | v_num | d_num] row groups of TILE_T triangles each, K
+    zero-padded 16 -> 128 so every DMA slice is lane-tile aligned and
+    the per-block matmul needs no operand slicing. Attributes are
+    stored as ROWS for the same reason.
+    """
+    v0, v1, v2 = scene.v0, scene.v1, scene.v2
+    t = v0.shape[0]
+    pad = (-t) % TILE_T
+    if pad:
+        z = jnp.zeros((pad, 3), jnp.float32)
+        v0, v1, v2 = (jnp.concatenate([x, z]) for x in (v0, v1, v2))
+    tp = t + pad
+    quads = jnp.stack(_tri_features(v0, v1, v2))     # (4, 16, Tp)
+    quads = jnp.concatenate(
+        [quads, jnp.zeros((4, _QK - _K, tp), jnp.float32)], axis=1
+    )                                                # (4, 128, Tp)
+    # -> (n_blocks, 4, TILE_T, 128) -> (4·Tp, 128)
+    gfeat = (
+        quads.reshape(4, _QK, tp // TILE_T, TILE_T)
+        .transpose(2, 0, 3, 1)
+        .reshape(4 * tp, _QK)
+    )
+
+    n = scene.normals()
+    acols = jnp.concatenate(
+        [n, scene.albedo, scene.emission,
+         jnp.zeros((t, _ACOLS - 9), jnp.float32)], axis=1,
+    )
+    if pad:
+        acols = jnp.concatenate(
+            [acols, jnp.zeros((pad, _ACOLS), jnp.float32)])
+    return gfeat, acols.T, (t + pad) // TILE_T
+
+
+def supported(scene, cfg: RenderConfig) -> bool:
+    return (
+        scene.n_tris <= BIG_MAX_TRIS
+        and cfg.rng == "lcg"
+        and cfg.sampler == "angle"
+        and not cfg.nee
+        and cfg.rr_start == 0
+        and not cfg.stratify
+    )
+
+
+def bigscene_call(rays, seeds, gfeat, attrs, cfg: RenderConfig,
+                  n_blocks: int, fast: bool = False):
+    """Raw forward pallas_call on packed rows → ``(4, Np)`` rows."""
+    np_ = rays.shape[1]
+    kernel = functools.partial(
+        _bigscene_kernel, cfg=cfg, n_blocks=n_blocks, fast=fast)
+    return pl.pallas_call(
+        kernel,
+        grid=(np_ // TILE_R,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),    # gfeat stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),    # attrs stays in HBM
+        ],
+        out_specs=pl.BlockSpec((4, TILE_R), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.float32),
+            pltpu.VMEM((2, _ACOLS, TILE_T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )(rays, seeds, gfeat, attrs)
+
+
+def render_radiance_bigscene(scene, camera, cfg: RenderConfig, seed=0,
+                             fast: bool = False):
+    """Unclamped mean radiance ``(H, W, 3)`` via the streamed fused
+    kernel. Forward-only; the differentiable entry point is
+    ``megakernel_bigscene_grad.render_radiance_bigscene_grad``.
+    """
+    from spath_tpu.ops.pallas.megakernel import pack_rays
+
+    if not supported(scene, cfg):
+        raise ValueError(
+            "bigscene megakernel supports lcg+angle, T <= BIG_MAX_TRIS")
+    rays, seeds, n = pack_rays(camera, cfg, seed, lane_multiple=TILE_R)
+    gfeat, attrs, n_blocks = bigscene_tables(scene)
+    out = bigscene_call(rays, seeds, gfeat, attrs, cfg, n_blocks, fast)
+    return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

@@ -307,8 +307,16 @@ def _mega_rows_fwd(tri, rays, seeds, cfg, n_tris):
     return mega_call(rays, seeds, tri, cfg, n_tris), (tri, rays, seeds)
 
 
-def _mega_rows_bwd(cfg, n_tris, res, gbar):
-    tri, rays, seeds = res
+def mega_bwd_call(rays, seeds, tri, gbar, cfg: RenderConfig, n_tris: int):
+    """Raw backward pallas_call on packed rows.
+
+    Returns ``(gtab18 (T, 18), grays (8, Np))`` — the per-triangle
+    scene-table adjoint (lane-reduced) and the per-lane camera-ray
+    adjoint for THIS wavefront. Shared by the single-device custom VJP
+    and the ``shard_map`` path (which psums ``gtab18`` over the mesh
+    axis, mirroring the reference's per-device replicated scene buffers,
+    ``src/cl_renderer.cpp:211-214``).
+    """
     np_ = rays.shape[1]
     accr = _accr(n_tris)
     kernel = functools.partial(_mega_bwd_kernel, cfg=cfg, n_tris=n_tris)
@@ -337,10 +345,21 @@ def _mega_rows_bwd(cfg, n_tris, res, gbar):
         ],
     )(rays, seeds, tri, gbar)
     per = jnp.sum(gtab_rows, axis=1)[: n_tris * _GCOLS]
-    gtri18 = per.reshape(n_tris, _GCOLS)
-    gtri = jnp.concatenate(
-        [gtri18, jnp.zeros((n_tris, 6), jnp.float32)], axis=1
-    )  # pad cols of the (T, 24) table carry no gradient
+    return per.reshape(n_tris, _GCOLS), grays
+
+
+def grad_table_from_gtab18(gtab18, n_tris: int):
+    """(T, 18) adjoint → (T, 24) scene-table cotangent (pad cols of the
+    table carry no gradient)."""
+    return jnp.concatenate(
+        [gtab18, jnp.zeros((n_tris, 6), jnp.float32)], axis=1
+    )
+
+
+def _mega_rows_bwd(cfg, n_tris, res, gbar):
+    tri, rays, seeds = res
+    gtab18, grays = mega_bwd_call(rays, seeds, tri, gbar, cfg, n_tris)
+    gtri = grad_table_from_gtab18(gtab18, n_tris)
     gseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
     return gtri, grays, gseeds
 

@@ -268,9 +268,8 @@ def _qbwd_kernel(rays, keys, tri, gbar, gtab, grays, *, cfg, n_tris):
         gtab[...] += gtab_rows
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def quality_rows(tri, rays, keys, cfg: RenderConfig, n_tris: int):
-    """Forward quality megakernel on packed rows, hand-written VJP."""
+def quality_call(rays, keys, tri, cfg: RenderConfig, n_tris: int):
+    """Raw forward quality pallas_call on packed rows → (4, Np)."""
     from spath_tpu.ops.pallas.megakernel_quality import _quality_kernel
 
     np_ = rays.shape[1]
@@ -291,12 +290,11 @@ def quality_rows(tri, rays, keys, cfg: RenderConfig, n_tris: int):
     )(rays, keys, tri)
 
 
-def _q_fwd(tri, rays, keys, cfg, n_tris):
-    return quality_rows(tri, rays, keys, cfg, n_tris), (tri, rays, keys)
-
-
-def _q_bwd(cfg, n_tris, res, gbar):
-    tri, rays, keys = res
+def quality_bwd_call(rays, keys, tri, gbar, cfg: RenderConfig,
+                     n_tris: int):
+    """Raw backward pallas_call → ``(gtab19 (T, 19), grays (8, Np))``
+    for this wavefront; the shard_map path psums ``gtab19`` over the
+    mesh axis (see ``megakernel_grad.mega_bwd_call``)."""
     np_ = rays.shape[1]
     accr = _qaccr(n_tris)
     kernel = functools.partial(_qbwd_kernel, cfg=cfg, n_tris=n_tris)
@@ -324,13 +322,34 @@ def _q_bwd(cfg, n_tris, res, gbar):
         ],
     )(rays, keys, tri, gbar)
     per = jnp.sum(gtab_rows, axis=1)[: n_tris * _QCOLS]
-    per = per.reshape(n_tris, _QCOLS)
-    # adjoint cols 0..17 -> table cols 0..17; adjoint area(18) -> table
-    # col 19; prob(18) and cdf(20) are detached by construction.
+    return per.reshape(n_tris, _QCOLS), grays
+
+
+def grad_table_from_gtab19(gtab19, n_tris: int):
+    """(T, 19) adjoint → (T, 24) quality-table cotangent.
+
+    Adjoint cols 0..17 -> table cols 0..17; adjoint area(18) -> table
+    col 19; prob(18) and cdf(20) are detached by construction."""
     zero1 = jnp.zeros((n_tris, 1), jnp.float32)
-    gtri = jnp.concatenate(
-        [per[:, :18], zero1, per[:, 18:19],
+    return jnp.concatenate(
+        [gtab19[:, :18], zero1, gtab19[:, 18:19],
          jnp.zeros((n_tris, 4), jnp.float32)], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def quality_rows(tri, rays, keys, cfg: RenderConfig, n_tris: int):
+    """Forward quality megakernel on packed rows, hand-written VJP."""
+    return quality_call(rays, keys, tri, cfg, n_tris)
+
+
+def _q_fwd(tri, rays, keys, cfg, n_tris):
+    return quality_rows(tri, rays, keys, cfg, n_tris), (tri, rays, keys)
+
+
+def _q_bwd(cfg, n_tris, res, gbar):
+    tri, rays, keys = res
+    gtab19, grays = quality_bwd_call(rays, keys, tri, gbar, cfg, n_tris)
+    gtri = grad_table_from_gtab19(gtab19, n_tris)
     gkeys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
     return gtri, grays, gkeys
 

@@ -16,6 +16,11 @@ from spath_tpu.parallel.shard import (
     render_pt_sharded,
     render_radiance_sharded,
 )
+from spath_tpu.parallel.shard_fast import (
+    render_pt_fast_sharded,
+    render_radiance_fast_sharded,
+    render_radiance_fastgrad_sharded,
+)
 from spath_tpu.parallel.ring import nearest_hit_ring
 
 __all__ = [
@@ -23,5 +28,8 @@ __all__ = [
     "make_mesh",
     "render_pt_sharded",
     "render_radiance_sharded",
+    "render_pt_fast_sharded",
+    "render_radiance_fast_sharded",
+    "render_radiance_fastgrad_sharded",
     "nearest_hit_ring",
 ]
