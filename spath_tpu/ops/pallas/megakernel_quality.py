@@ -34,6 +34,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spath_tpu.config import RenderConfig
 from spath_tpu.ops.pallas.megakernel import (
+    _BIG as _MEGA_BIG,
+)
+from spath_tpu.ops.pallas.megakernel import (
+    _EPS as _MEGA_EPS,
+)
+from spath_tpu.ops.pallas.megakernel import (
+    _INV_EPS as _MEGA_INV_EPS,
+)
+from spath_tpu.ops.pallas.megakernel import (
     MAX_TRIS,
     TILE_N,
     UNROLL_TRIS,
@@ -88,21 +97,115 @@ def _hash_draws(h0, sample, bounce: int, n_draws: int):
     return us
 
 
-def _select_light(tri, u_sel, n_tris):
-    """Categorical draw over the cdf column: count(cdf <= u), clipped —
-    the exact semantics of ``searchsorted(side='right')``."""
-    cnt = jnp.zeros_like(u_sel, dtype=jnp.int32)
-    one = jnp.int32(1)
+def _select_gather_light(tri, u_sel, cols, n_tris):
+    """Categorical draw over the cdf column FUSED with the column gather.
+
+    Equivalent to ``li = min(count(cdf <= u), T-1)`` (``searchsorted``,
+    side='right') followed by ``_gather_cols(tri, li, cols)`` — but in a
+    single O(T) pass.  Because the cdf column is nondecreasing (a cumsum
+    of non-negative probs), ``count == t`` exactly when
+    ``cdf[t-1] <= u < cdf[t]`` (with ``cdf[-1] = -inf`` and the last row
+    catching the clipped ``count == T`` case), so a one-hot crossing mask
+    reproduces the counting semantics bit-for-bit — including ties from
+    zero-probability (dark) triangles, whose repeated cdf values make the
+    crossing land on the last of the run, same as the count.
+
+    Returns ``(li, outs)``.
+    """
+    cols = tuple(cols)
+    li = jnp.zeros_like(u_sel, dtype=jnp.int32)
+    outs = [jnp.zeros_like(u_sel) for _ in cols]
+    prev_le = jnp.ones_like(u_sel, dtype=jnp.bool_)   # cdf[-1] = -inf
+
+    def step(t, li, outs, prev_le, last: bool):
+        le = tri[t, _COL_CDF] <= u_sel
+        m = prev_le if last else prev_le & jnp.logical_not(le)
+        li = jnp.where(m, t, li)
+        outs = [jnp.where(m, tri[t, c], o) for c, o in zip(cols, outs)]
+        return li, outs, le
 
     if n_tris <= UNROLL_TRIS:
         for t in range(n_tris):
-            cnt = cnt + jnp.where(tri[t, _COL_CDF] <= u_sel, one, 0)
-    else:
-        def body(t, cnt):
-            return cnt + jnp.where(tri[t, _COL_CDF] <= u_sel, one, 0)
+            li, outs, prev_le = step(t, li, outs, prev_le,
+                                     t == n_tris - 1)
+        return li, outs
 
-        cnt = lax.fori_loop(0, n_tris, body, cnt)
-    return jnp.minimum(cnt, n_tris - 1)
+    def body(t, carry):
+        li, outs, prev_le = carry
+        li, outs, le = step(t, li, outs, prev_le, False)
+        return li, tuple(outs), le
+
+    li, outs, prev_le = lax.fori_loop(
+        0, n_tris - 1, body, (li, tuple(outs), prev_le))
+    li, outs, _ = step(n_tris - 1, li, list(outs), prev_le, True)
+    return li, outs
+
+
+def _mt2_step(t, ox, oy, oz, d1, d2, src, tri, b1, b2):
+    """Möller–Trumbore of TWO rays sharing an origin against triangle
+    ``t`` in one pass over the table row.
+
+    The origin-only quantities — ``s = o - v0``, ``q = s × e1`` and
+    ``e2·q`` — are computed once and shared (the identical float
+    expressions of ``megakernel._mt_step``, so each ray's result is
+    bit-equal to two separate sweeps). ``b1``/``b2`` are the running
+    ``(best_d, best_i)`` pairs.
+    """
+    v0x, v0y, v0z = tri[t, 0], tri[t, 1], tri[t, 2]
+    e1x, e1y, e1z = tri[t, 3], tri[t, 4], tri[t, 5]
+    e2x, e2y, e2z = tri[t, 6], tri[t, 7], tri[t, 8]
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    e2q = e2x * qx + e2y * qy + e2z * qz
+
+    def one(d, best):
+        dx, dy, dz = d
+        best_d, best_i = best
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        nondeg = jnp.abs(a) >= _MEGA_EPS
+        f = jnp.float32(1.0) / jnp.where(nondeg, a, jnp.float32(1.0))
+        u = f * (sx * hx + sy * hy + sz * hz)
+        v = f * (dx * qx + dy * qy + dz * qz)
+        dist = f * e2q
+        ok = (
+            nondeg
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (dist > _MEGA_EPS) & (dist < _MEGA_INV_EPS)
+            & (src != t)
+            & (dist < best_d)
+        )
+        return jnp.where(ok, dist, best_d), jnp.where(ok, t, best_i)
+
+    return one(d1, b1), one(d2, b2)
+
+
+def _nearest2(o, d1, d2, src, tri, n_tris):
+    """Two nearest-hit sweeps sharing one walk of the SMEM table.
+
+    Returns ``((best_d1, best_i1), (best_d2, best_i2))`` — bit-equal to
+    two independent ``_nearest`` calls with the same origin (the shadow
+    ray and the next bounce ray both start at the hit point)."""
+    ox, oy, oz = o
+    big = jnp.full_like(ox, _MEGA_BIG)
+    none = jnp.full_like(src, -1)
+    b1 = (big, none)
+    b2 = (big, none)
+    if n_tris <= UNROLL_TRIS:
+        for t in range(n_tris):
+            b1, b2 = _mt2_step(t, ox, oy, oz, d1, d2, src, tri, b1, b2)
+        return b1, b2
+
+    def body(t, carry):
+        b1, b2 = carry
+        return _mt2_step(t, ox, oy, oz, d1, d2, src, tri, b1, b2)
+
+    return lax.fori_loop(0, n_tris, body, (b1, b2))
 
 
 def _make_ctx(rays, keys, tri, cfg: RenderConfig, n_tris: int):
@@ -130,7 +233,7 @@ def _sample_walk(s, ctx):
     (ox0, oy0, oz0), (dx0, dy0, dz0) = ctx["o0"], ctx["d0"]
     src0, (fh_d, fh_i), h0 = ctx["src0"], ctx["fh"], ctx["h0"]
     use_mis = cfg.nee and cfg.mis
-    n_draws = 5 if cfg.nee else 2
+    n_draws = (5 if cfg.nee else 2) + (1 if cfg.rr_start else 0)
     saved = []
 
     if True:  # keep the historical indentation of the bounce walk
@@ -145,11 +248,15 @@ def _sample_walk(s, ctx):
         rad_g = jnp.zeros_like(ox)
         rad_b = jnp.zeros_like(ox)
         prev_pdf = jnp.zeros_like(ox)
+        # NEE mode pipelines the walk: bounce b's fused sweep
+        # (``_nearest2``) produces BOTH b's shadow occlusion and b+1's
+        # nearest hit from their shared origin, so (dist, idx) is carried
+        # across iterations instead of recomputed at the top.
+        dist, idx = fh_d, fh_i
 
         for bounce in range(cfg.max_bounces):
-            if bounce == 0:
-                dist, idx = fh_d, fh_i
-            else:
+            last = bounce == cfg.max_bounces - 1
+            if bounce > 0 and not cfg.nee:
                 dist, idx = _nearest(ox, oy, oz, dx, dy, dz, src, tri,
                                      n_tris)
             hit = alive & (idx >= 0)
@@ -198,7 +305,14 @@ def _sample_walk(s, ctx):
                 rad_b = rad_b + jnp.where(hit, tr_b * eb_, 0.0)
 
             # --- cosine-weighted bounce direction (ops/sampling.py) ---
-            phi = us[0] * np.float32(2.0 * _PI)
+            u0 = us[0]
+            if cfg.stratify and bounce == 0:
+                # First-bounce azimuth stratified across the spp samples:
+                # substream s draws from [s/spp, (s+1)/spp) — same
+                # transform (and float ops) as the wavefront's.
+                u0 = (s.astype(jnp.float32) + u0) * np.float32(
+                    1.0 / cfg.spp)
+            phi = u0 * np.float32(2.0 * _PI)
             r_ = jnp.sqrt(jnp.maximum(1.0 - us[1], 0.0))
             z_ = jnp.sqrt(us[1])
             sgn = jnp.where(anz >= 0.0, 1.0, -1.0).astype(jnp.float32)
@@ -218,13 +332,25 @@ def _sample_walk(s, ctx):
             ndy = _detach(ty * cp + bty * sp + any_ * z_)
             ndz = _detach(tz * cp + btz * sp + anz * z_)
 
+            # Next-ray state (the advance), hoisted above the NEE sweep:
+            # the shadow ray and the next bounce ray share their origin,
+            # so ONE fused table walk (``_nearest2``) produces both this
+            # bounce's occlusion and the next bounce's nearest hit.
+            onx = jnp.where(hit, px, ox)
+            ony = jnp.where(hit, py, oy)
+            onz = jnp.where(hit, pz, oz)
+            dnx = jnp.where(hit, ndx, dx)
+            dny = jnp.where(hit, ndy, dy)
+            dnz = jnp.where(hit, ndz, dz)
+            srcn = jnp.where(hit, idx, src)
+
             # --- NEE direct light (ops/nee.py::direct_light) ---
             if cfg.nee:
-                li = _select_light(tri, us[2], n_tris)
-                (lv0x, lv0y, lv0z, le1x, le1y, le1z, le2x, le2y, le2z,
-                 lnx, lny, lnz, lemr, lemg, lemb, lprob, larea) = \
-                    _gather_cols(
-                        tri, li,
+                li, (lv0x, lv0y, lv0z, le1x, le1y, le1z,
+                     le2x, le2y, le2z, lnx, lny, lnz,
+                     lemr, lemg, lemb, lprob, larea) = \
+                    _select_gather_light(
+                        tri, us[2],
                         (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
                          15, 16, 17, _COL_PROB, _COL_AREA),
                         n_tris,
@@ -242,8 +368,17 @@ def _sample_walk(s, ctx):
                 cos_s = anx * omx + any_ * omy + anz * omz
                 cos_l = jnp.abs(lnx * omx + lny * omy + lnz * omz)
                 safe_src = jnp.maximum(idx, 0)
-                _, occ = _nearest(px, py, pz, omx, omy, omz, safe_src,
-                                  tri, n_tris)
+                # Occlusion (and, pipelined, the next nearest hit). On
+                # hit lanes the shared origin/src equal the wavefront's
+                # (px == onx, idx == srcn); dead lanes are masked below.
+                if last:
+                    _, occ = _nearest(onx, ony, onz, omx, omy, omz,
+                                      srcn, tri, n_tris)
+                    nxt = (dist, idx)
+                else:
+                    (_, occ), nxt = _nearest2(
+                        (onx, ony, onz), (omx, omy, omz),
+                        (dnx, dny, dnz), srcn, tri, n_tris)
                 valid = (
                     (occ == li) & (lprob > 0.0) & (cos_s > 0.0)
                     & (li != safe_src)
@@ -295,17 +430,29 @@ def _sample_walk(s, ctx):
             tr_r = jnp.where(hit, tr_r * ar, tr_r)
             tr_g = jnp.where(hit, tr_g * ag, tr_g)
             tr_b = jnp.where(hit, tr_b * ab_, tr_b)
-            ox = jnp.where(hit, px, ox)
-            oy = jnp.where(hit, py, oy)
-            oz = jnp.where(hit, pz, oz)
-            dx = jnp.where(hit, ndx, dx)
-            dy = jnp.where(hit, ndy, dy)
-            dz = jnp.where(hit, ndz, dz)
-            src = jnp.where(hit, idx, src)
+            ox, oy, oz = onx, ony, onz
+            dx, dy, dz = dnx, dny, dnz
+            src = srcn
             alive = hit
+            if cfg.rr_start and bounce >= cfg.rr_start and not last:
+                # Russian roulette on the continuation: survive with
+                # probability q = max throughput component, reweight by
+                # 1/q. Decision detached; the reweight keeps gradients
+                # (models/pathtracer.py policy, same float ops).
+                q = _detach(jnp.clip(
+                    jnp.maximum(jnp.maximum(tr_r, tr_g), tr_b),
+                    0.05, 1.0))
+                rrs = hit & (us[-1] < q)
+                tr_r = jnp.where(rrs, tr_r / q, tr_r)
+                tr_g = jnp.where(rrs, tr_g / q, tr_g)
+                tr_b = jnp.where(rrs, tr_b / q, tr_b)
+                alive = rrs
+                sv.update(rrs=rrs, rrq=q)
             if use_mis:
                 cos_next = ndx * anx + ndy * any_ + ndz * anz
                 prev_pdf = _detach(jnp.maximum(cos_next, 0.0) * _INV_PI)
+            if cfg.nee and not last:
+                dist, idx = nxt
 
     return rad_r, rad_g, rad_b, saved
 
@@ -349,8 +496,6 @@ def supported(scene, cfg: RenderConfig) -> bool:
         scene.n_tris <= MAX_TRIS
         and cfg.rng == "hash"
         and cfg.sampler == "cosine"
-        and cfg.rr_start == 0
-        and not cfg.stratify
     )
 
 

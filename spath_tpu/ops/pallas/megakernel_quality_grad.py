@@ -104,6 +104,14 @@ def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
             tr, alb, emi = sv["tr"], sv["alb"], sv["emi"]
             an, fs = sv["an"], sv["fs"]
 
+            # Russian roulette: the continuation throughput carries a
+            # detached 1/q reweight on surviving lanes, so the incoming
+            # throughput adjoint picks up the same factor before the
+            # albedo chain (megakernel_quality._sample_walk rr block).
+            if "rrs" in sv:
+                tb = [jnp.where(sv["rrs"], tb[c] / sv["rrq"], tb[c])
+                      for c in range(3)]
+
             # --- emitter-hit term ---
             ew = sv["w_b"] if cfg.nee else jnp.ones_like(ox0)
             ebar = [jnp.where(hit, g3[c] * tr[c] * ew, 0.0)

@@ -26,10 +26,15 @@ def _cfg(**kw):
     return RenderConfig(**base)
 
 
-@pytest.mark.parametrize("nee,mis", [(False, False), (True, False),
-                                     (True, True)])
-def test_quality_megakernel_matches_wavefront(scene7, nee, mis):
-    cfg = _cfg(nee=nee, mis=mis)
+@pytest.mark.parametrize("nee,mis,rr,strat", [
+    (False, False, 0, False), (True, False, 0, False),
+    (True, True, 0, False),
+    # in-kernel Russian roulette and first-bounce stratification
+    (False, False, 2, False), (True, True, 2, False),
+    (True, True, 0, True), (True, True, 1, True),
+])
+def test_quality_megakernel_matches_wavefront(scene7, nee, mis, rr, strat):
+    cfg = _cfg(nee=nee, mis=mis, rr_start=rr, stratify=strat)
     cam = Camera.default()
     jw = jax.jit(render_radiance, static_argnames=("cfg",))
     want = np.asarray(jw(scene7, cam, cfg, 3))
@@ -39,7 +44,8 @@ def test_quality_megakernel_matches_wavefront(scene7, nee, mis):
         got = np.asarray(jk(scene7, cam, cfg, 3))
     flipped = (np.abs(got - want) > 1e-4).any(-1)
     assert flipped.mean() < 0.01, (
-        f"nee={nee} mis={mis}: {flipped.mean():.4f} flipped, "
+        f"nee={nee} mis={mis} rr={rr} strat={strat}: "
+        f"{flipped.mean():.4f} flipped, "
         f"max diff {np.abs(got - want).max():.4f}")
     np.testing.assert_allclose(got.mean(), want.mean(), rtol=2e-2)
 
@@ -71,7 +77,9 @@ def test_quality_megakernel_guardrails(scene7):
     assert supported(scene7, _cfg())
     assert not supported(scene7, _cfg(rng="threefry"))
     assert not supported(scene7, _cfg(sampler="uniform"))
-    assert not supported(scene7, _cfg(stratify=True))
+    # rr/stratify are fused in-kernel
+    assert supported(scene7, _cfg(stratify=True))
+    assert supported(scene7, _cfg(rr_start=2))
     with pytest.raises(ValueError):
         render_radiance_quality_megakernel(
             scene7, Camera.default(), _cfg(rng="lcg"), 0)

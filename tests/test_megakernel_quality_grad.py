@@ -40,10 +40,14 @@ GROUPS = [("v0", 0), ("e1", 3), ("e2", 6), ("n", 9), ("alb", 12),
           ("emi", 15), ("area", 18)]
 
 
-@pytest.mark.parametrize("nee,mis", [(False, False), (True, False),
-                                     (True, True)])
-def test_quality_adjoint_matches_autodiff(scene7, nee, mis):
-    cfg = _cfg(nee=nee, mis=mis)
+@pytest.mark.parametrize("nee,mis,rr,strat", [
+    (False, False, 0, False), (True, False, 0, False),
+    (True, True, 0, False),
+    # in-kernel Russian roulette (1/q reweight adjoint) + stratification
+    (True, True, 1, False), (True, True, 2, True),
+])
+def test_quality_adjoint_matches_autodiff(scene7, nee, mis, rr, strat):
+    cfg = _cfg(nee=nee, mis=mis, rr_start=rr, stratify=strat)
     cam = Camera.default()
     rays, pix, n = pack_rays(cam, cfg, 0)
     rays, pix = rays[:, :256], pix[:, :256]
@@ -84,7 +88,8 @@ def test_quality_adjoint_matches_autodiff(scene7, nee, mis):
         scale = np.abs(auto).max() + 1e-12
         np.testing.assert_allclose(
             m, a, atol=2e-6 * scale,
-            err_msg=f"nee={nee} mis={mis}: adjoint mismatch in {name}")
+            err_msg=f"nee={nee} mis={mis} rr={rr} strat={strat}: "
+                    f"adjoint mismatch in {name}")
     # prob/cdf columns are detached by construction
     assert np.abs(auto[:, 18]).max() == 0.0     # prob
     assert np.abs(auto[:, 20]).max() == 0.0     # cdf
