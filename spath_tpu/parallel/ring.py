@@ -133,10 +133,33 @@ def ring_gather_rows(table_shard: jax.Array, global_idx: jax.Array,
     return out
 
 
-def _pad_axis0(x, m):
+def ring_light_select(cdf_shard, u_sel, n_tris: int, axis_name: str):
+    """Categorical light selection with the cdf column ring-sharded.
+
+    The stored cdf is the exact GLOBAL cumsum (built before sharding),
+    so each shard's slice is sorted and the global
+    ``searchsorted(side='right')`` count decomposes exactly into the sum
+    of per-shard counts: the selection is bit-identical to the
+    replicated ``ops/nee.py::sample_light_points``. Padding rows carry
+    cdf = 2.0 (> any uniform) and are never counted.
+    """
+    n_shards = lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    cnt = jnp.zeros(u_sel.shape, jnp.int32)
+    blk = cdf_shard
+    for step in range(n_shards):
+        cnt = cnt + jnp.searchsorted(
+            blk, u_sel, side="right").astype(jnp.int32)
+        if step + 1 < n_shards:
+            blk = lax.ppermute(blk, axis_name, perm)
+    return lax.stop_gradient(jnp.clip(cnt, 0, n_tris - 1))
+
+
+def _pad_axis0(x, m, fill=0.0):
     pad = (-x.shape[0]) % m
     if pad:
-        x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                    constant_values=fill)
     return x
 
 
@@ -173,31 +196,43 @@ def render_flat_ring(scene, camera, cfg: RenderConfig, mesh: Mesh):
     return img[:n].reshape(cfg.height, cfg.width, 3)
 
 
-def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name):
+def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
+                n_tris: int):
     """Full path trace with triangle data resident only as ring shards.
 
-    ``tri_table``: this device's (T/S, 15) rows [v0, v1, v2, albedo,
-    emission]. The bounce loop mirrors models.pathtracer.trace_radiance
-    (forward throughput, detached sampling, masked LCG advance) with
-    the two sharded primitives substituted: nearest_hit_ring for the
-    intersection and ring_gather_rows for per-hit attributes (the
-    shading normal is derived from the gathered vertices, matching
-    geom::flat_normal).
+    ``tri_table``: this device's (T/S, 15|17) rows [v0, v1, v2, albedo,
+    emission (, prob, cdf)]. The bounce loop mirrors
+    models.pathtracer.trace_radiance — forward throughput, detached
+    sampling, masked LCG advance, NEE/MIS, Russian roulette,
+    stratification — with the sharded primitives substituted:
+    ``nearest_hit_ring`` for intersections (camera AND shadow rays),
+    ``ring_gather_rows`` for per-hit and per-light attributes, and
+    ``ring_light_select`` for the categorical light draw over the
+    ring-sharded cdf column. Normals/areas are derived from gathered
+    vertices with the same float expressions as the replicated path, so
+    ring and replicated renders agree draw-for-draw.
     """
     import numpy as _np
 
-    from spath_tpu.ops.rng import lcg_next, per_pixel_uniforms
+    from spath_tpu.models.pathtracer import _bounce_uniforms
+    from spath_tpu.ops.nee import INV_PI, bsdf_pdf, nee_pdf_of_hit
+    from spath_tpu.ops.rng import lcg_next
     from spath_tpu.ops.sampling import hemisphere_sample
 
     n = o.shape[0]
     v0s = tri_table[:, 0:3]
     v1s = tri_table[:, 3:6]
     v2s = tri_table[:, 6:9]
+    use_mis = cfg.nee and cfg.mis and cfg.sampler != "angle"
+    if cfg.nee:
+        cdf_col = tri_table[:, 16]
 
     if cfg.rng == "lcg":
-        state = pixel_ids.astype(jnp.uint32) + seed.astype(jnp.uint32)
+        state0 = pixel_ids.astype(jnp.uint32) + seed.astype(jnp.uint32)
+    elif cfg.rng == "hash":
+        state0 = seed.astype(jnp.uint32)
     else:
-        state = jax.random.key(seed)
+        state0 = jax.random.key(seed)
 
     def one_sample(state, s):
         oo, dd = o, d
@@ -205,6 +240,13 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name):
         radiance = jnp.zeros((n, 3), jnp.float32)
         alive = jnp.ones(n, bool)
         src = jnp.full(n, -1, jnp.int32)
+        prev_pdf = jnp.zeros(n, jnp.float32)
+        if cfg.rng == "threefry":
+            rng_state = jax.random.fold_in(state, s)
+            sample_idx = s if cfg.stratify else None
+        else:
+            rng_state = state
+            sample_idx = s
         for bounce in range(cfg.max_bounces):
             dist, idx = nearest_hit_ring(
                 oo, dd, v0s, v1s, v2s, src, cfg, axis_name
@@ -222,28 +264,109 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name):
             flip = jnp.sum(nrm * dd, axis=-1) > 0.0
             adj_n = jnp.where(flip[:, None], -nrm, nrm)
 
-            if cfg.rng == "lcg":
-                s1, u1 = lcg_next(state)
-                s2, u2 = lcg_next(s1)
-                state = jnp.where(hit, s2, state)
-            else:
-                k = jax.random.fold_in(jax.random.fold_in(state, s), bounce)
-                us = per_pixel_uniforms(k, pixel_ids, 2)
-                u1, u2 = us[0], us[1]
-            nd, w = hemisphere_sample(cfg.sampler, adj_n, u1, u2)
+            rng_state, us = _bounce_uniforms(
+                cfg, rng_state, hit, bounce, pixel_ids, n, sample_idx
+            )
+            u_az = us[0]
+            if cfg.stratify and bounce == 0 and sample_idx is not None:
+                u_az = (jnp.float32(sample_idx) + u_az) * jnp.float32(
+                    1.0 / cfg.spp)
+            nd, w = hemisphere_sample(cfg.sampler, adj_n, u_az, us[1])
             nd = lax.stop_gradient(nd)
             if cfg.sampler in ("angle", "uniform"):
                 w = _np.float32(2.0) * jnp.sum(nd * adj_n, axis=-1)
+            point = oo + dist[:, None] * dd
 
-            radiance = radiance + jnp.where(hit3, throughput * emi, 0.0)
+            if cfg.nee:
+                # emitter hits: full at bounce 0, MIS-weighted (or
+                # dropped) deeper — models/pathtracer.py semantics.
+                if bounce == 0:
+                    radiance = radiance + jnp.where(
+                        hit3, throughput * emi, 0.0)
+                elif use_mis:
+                    hit_prob = rows[:, 15]
+                    hit_area = lax.stop_gradient(
+                        0.5 * jnp.linalg.norm(
+                            jnp.cross(gv1 - gv0, gv2 - gv0), axis=-1))
+                    cos_l_hit = jnp.abs(jnp.sum(nrm * dd, axis=-1))
+                    p_nee_here = nee_pdf_of_hit(
+                        hit_prob, hit_area, dist, cos_l_hit)
+                    w_b = prev_pdf * prev_pdf / jnp.maximum(
+                        prev_pdf * prev_pdf + p_nee_here * p_nee_here,
+                        1e-30)
+                    w_b = lax.stop_gradient(w_b)
+                    radiance = radiance + jnp.where(
+                        hit3, throughput * emi * w_b[:, None], 0.0)
+
+                # direct light: selection over the ring-sharded cdf,
+                # light rows via ring gather, shadow via the ring sweep
+                # (ops/nee.py::direct_light formulas verbatim).
+                li = ring_light_select(cdf_col, us[2], n_tris, axis_name)
+                lrows = ring_gather_rows(tri_table, li, axis_name)
+                lv0, lv1, lv2 = (lrows[:, 0:3], lrows[:, 3:6],
+                                 lrows[:, 6:9])
+                lemi, lprob = lrows[:, 12:15], lrows[:, 15]
+                su1 = jnp.sqrt(us[3])
+                b1 = 1.0 - su1
+                b2 = us[4] * su1
+                y = lv0 + b1[:, None] * (lv1 - lv0) + \
+                    b2[:, None] * (lv2 - lv0)
+                ln = jnp.cross(lv1 - lv0, lv2 - lv0)
+                lnorm = jnp.linalg.norm(ln, axis=-1, keepdims=True)
+                larea = 0.5 * lnorm[:, 0]
+                lunit = ln / jnp.maximum(lnorm, 1e-20)
+                delta = y - point
+                r2 = jnp.sum(delta * delta, axis=-1)
+                r = jnp.sqrt(jnp.maximum(r2, 1e-20))
+                omega = delta / r[:, None]
+                cos_s = jnp.sum(adj_n * omega, axis=-1)
+                cos_l = jnp.abs(jnp.sum(lunit * omega, axis=-1))
+                _, occ = nearest_hit_ring(
+                    point, omega, v0s, v1s, v2s, safe, cfg, axis_name)
+                valid = (
+                    (occ == li) & (lprob > 0) & (cos_s > 0) & (li != safe)
+                )
+                valid = lax.stop_gradient(valid)
+                g = cos_s * cos_l / jnp.maximum(r2, 1e-12)
+                weight = larea / jnp.maximum(lprob, 1e-20)
+                direct = alb * INV_PI * lemi * (g * weight)[:, None]
+                if use_mis:
+                    p_nee = (
+                        lprob / jnp.maximum(larea, 1e-20)
+                    ) * jnp.minimum(r2, 1e12) / jnp.maximum(cos_l, 1e-6)
+                    p_b = bsdf_pdf(cfg.sampler, cos_s)
+                    mw = p_nee * p_nee / jnp.maximum(
+                        p_nee * p_nee + p_b * p_b, 1e-30)
+                    direct = direct * lax.stop_gradient(mw)[:, None]
+                direct = jnp.where(valid[:, None], direct, 0.0)
+                radiance = radiance + jnp.where(
+                    hit3, throughput * direct, 0.0)
+            else:
+                radiance = radiance + jnp.where(
+                    hit3, throughput * emi, 0.0)
             throughput = jnp.where(
                 hit3, throughput * alb * w[:, None], throughput
             )
-            point = oo + dist[:, None] * dd
             oo = jnp.where(hit3, point, oo)
             dd = jnp.where(hit3, nd, dd)
             src = jnp.where(hit, idx, src)
             alive = hit
+            if cfg.rr_start and bounce >= cfg.rr_start \
+                    and bounce < cfg.max_bounces - 1:
+                q = lax.stop_gradient(jnp.clip(
+                    jnp.max(throughput, axis=-1), 0.05, 1.0))
+                survive = us[-1] < q
+                throughput = jnp.where(
+                    (hit & survive)[:, None], throughput / q[:, None],
+                    throughput,
+                )
+                alive = hit & survive
+            if use_mis:
+                cos_next = jnp.sum(nd * adj_n, axis=-1)
+                prev_pdf = lax.stop_gradient(
+                    bsdf_pdf(cfg.sampler, cos_next))
+        if cfg.rng == "lcg":
+            state = rng_state
         return radiance, state
 
     def body(carry, s):
@@ -251,7 +374,7 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name):
         rad, state = one_sample(state, s)
         return (state, acc + rad), None
 
-    init = (state, jnp.zeros((n, 3), jnp.float32))
+    init = (state0, jnp.zeros((n, 3), jnp.float32))
     if cfg.spp <= 8:
         carry = init
         for s in range(cfg.spp):
@@ -267,12 +390,15 @@ def render_pt_ring(scene, camera, cfg: RenderConfig, mesh: Mesh, seed=0):
     """Path-traced frame with rays AND triangle data sharded over one
     mesh axis — the full long-context mode (SURVEY §5): per-device
     memory for scene data is T/S rows; triangle shards ride the ring
-    for both intersection and attribute fetch. NEE is not yet supported
-    in ring mode."""
+    for both intersection and attribute fetch. The full quality
+    estimator is supported: NEE/MIS light tables (prob + exact global
+    cdf columns ride the ring with the triangle shards; shadow rays use
+    the ring sweep), Russian roulette, and stratification — matching the
+    replicated wavefront draw-for-draw."""
     from spath_tpu.camera import generate_rays
 
-    if cfg.nee:
-        raise ValueError("ring mode does not support NEE yet")
+    if cfg.nee and cfg.rng == "lcg":
+        raise ValueError("cfg.nee requires rng='threefry' or 'hash'")
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     o, d = generate_rays(camera, cfg.width, cfg.height)
@@ -282,11 +408,20 @@ def render_pt_ring(scene, camera, cfg: RenderConfig, mesh: Mesh, seed=0):
     pixel_ids = _pad_axis0(
         jnp.arange(n, dtype=jnp.uint32)[:, None], n_dev
     )[:, 0]
-    table = jnp.concatenate(
-        [scene.v0, scene.v1, scene.v2, scene.albedo, scene.emission],
-        axis=1,
-    )
-    table = _pad_axis0(table, n_dev)
+    cols = [scene.v0, scene.v1, scene.v2, scene.albedo, scene.emission]
+    if cfg.nee:
+        from spath_tpu.ops.nee import light_cdf
+
+        cdf, prob = light_cdf(scene)
+        cols += [prob[:, None], cdf[:, None]]
+    table = jnp.concatenate(cols, axis=1)
+    pad = (-table.shape[0]) % n_dev
+    if pad:
+        fill = jnp.zeros((pad, table.shape[1]), table.dtype)
+        if cfg.nee:
+            # padded rows: prob 0, cdf 2.0 — never selected, never counted
+            fill = fill.at[:, 16].set(2.0)
+        table = jnp.concatenate([table, fill], axis=0)
 
     @jax.jit
     @partial(
@@ -296,7 +431,8 @@ def render_pt_ring(scene, camera, cfg: RenderConfig, mesh: Mesh, seed=0):
         out_specs=P(axis),
     )
     def go(o, d, pids, table, seed):
-        return _trace_ring(table, o, d, pids, cfg, seed, axis)
+        return _trace_ring(table, o, d, pids, cfg, seed, axis,
+                           scene.n_tris)
 
     img = go(o, d, pixel_ids, table, jnp.asarray(seed))
     return jnp.clip(img[:n], 0.0, 1.0).reshape(cfg.height, cfg.width, 3)

@@ -188,3 +188,44 @@ def test_ring_full_pt_procedural_threefry():
         render_pt_ring(scene, cam, cfg, make_mesh(8, axis="shard"), seed=1)
     )
     _assert_images_match(got, want)
+
+
+@pytest.mark.parametrize("mis,rr", [(False, 0), (True, 0), (True, 2)])
+def test_ring_nee_matches_replicated(scene7, mis, rr):
+    """Ring-mode QUALITY estimator: NEE light tables (prob/cdf columns),
+    shadow rays, MIS, and Russian roulette all ring-sharded — must
+    reproduce the replicated wavefront draw-for-draw (hash streams are
+    keyed by global pixel id; the stored cdf is the exact global
+    cumsum, so light selection counts decompose exactly)."""
+    from spath_tpu.parallel.ring import render_pt_ring
+
+    cfg = RenderConfig(width=40, height=24, spp=2, rng="hash",
+                       sampler="cosine", nee=True, mis=mis, rr_start=rr)
+    cam = Camera.default()
+    want = np.asarray(render_pt(scene7, cam, cfg, seed=0))
+    got = np.asarray(
+        render_pt_ring(scene7, cam, cfg, make_mesh(8, axis="shard"), seed=0)
+    )
+    _assert_images_match(got, want)
+
+
+def test_ring_nee_procedural_multi_light():
+    """Many lights spread across different ring shards: selection must
+    pick lights owned by remote shards correctly."""
+    from spath_tpu.scene import Scene, procedural_scene
+    from spath_tpu.parallel.ring import render_pt_ring
+
+    base = procedural_scene(96, seed=7)
+    emission = np.asarray(base.emission).copy()
+    for t, e in [(5, (4.0, 3.0, 2.0)), (40, (1.0, 5.0, 1.0)),
+                 (77, (2.0, 2.0, 6.0))]:
+        emission[t] = e
+    scene = Scene(base.vertices, base.albedo, jnp.asarray(emission))
+    cfg = RenderConfig(width=24, height=16, spp=2, rng="hash",
+                       sampler="cosine", nee=True, mis=True, tri_block=64)
+    cam = Camera.default()
+    want = np.asarray(render_pt(scene, cam, cfg, seed=2))
+    got = np.asarray(
+        render_pt_ring(scene, cam, cfg, make_mesh(8, axis="shard"), seed=2)
+    )
+    _assert_images_match(got, want)
