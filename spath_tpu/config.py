@@ -74,6 +74,17 @@ class RenderConfig:
       stratify: stratify the first-bounce azimuth uniform across the spp
         samples (u -> (s + u)/spp) — lower variance at equal spp, exact
         same estimator in expectation. Requires rng="threefry" or "hash".
+      vis_grad: visibility (silhouette) gradients for emitter hits via
+        warped-area reparameterization: BSDF-sampled emitter hits are
+        re-expressed in the emitter triangle's detached barycentric
+        frame, so the hit point follows the moving light and the
+        solid-angle→area Jacobian (2A·cosθ_l/r²) carries the boundary
+        term. The correction factor is exactly 1.0 in the forward pass
+        (bit-identical images); it only adds gradient paths — e.g.
+        translating an area light gets the finite-difference gradient
+        instead of the detached-sampling 0. Occluder (blocker)
+        silhouettes additionally need ``vis_grad_aux`` warps
+        (``ops/warp.py``).
       remat: rematerialize each sample's trace in the backward pass
         (``jax.checkpoint`` on the sample-scan body). Essential at high
         spp: without it every sample's per-bounce residuals live until
@@ -98,6 +109,7 @@ class RenderConfig:
     mis: bool = True
     rr_start: int = 0
     stratify: bool = False
+    vis_grad: bool = False
     remat: bool = True
     tri_block: int = 512
     ray_tile: int = 2048

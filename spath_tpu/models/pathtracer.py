@@ -136,6 +136,7 @@ def trace_radiance(
     alive = jnp.ones(n, bool)
     src = jnp.full(n, -1, jnp.int32)
     alive_fracs = []
+    prev_n = None          # hemisphere axis d was sampled about
 
     for bounce in range(cfg.max_bounces):
         if bounce == 0 and first_hit is not None:
@@ -149,18 +150,31 @@ def trace_radiance(
 
         # One fused one-hot/MXU gather for all per-triangle attributes
         # (a plain per-attribute gather is ~10x slower on TPU).
+        gtabs = [normals, scene.albedo, scene.emission]
         if use_mis:
-            nrm, alb, emi, extra = fused_row_gather(
-                (normals, scene.albedo, scene.emission,
-                 jnp.stack([lprob, lareas], axis=1)), safe
-            )
-            hit_prob, hit_area = extra[:, 0], extra[:, 1]
-        else:
-            nrm, alb, emi = fused_row_gather(
-                (normals, scene.albedo, scene.emission), safe
-            )
+            gtabs.append(jnp.stack([lprob, lareas], axis=1))
+        if cfg.vis_grad:
+            gtabs += [v0, v1 - v0, v2 - v0]
+        gout = fused_row_gather(tuple(gtabs), safe)
+        nrm, alb, emi = gout[0], gout[1], gout[2]
+        if use_mis:
+            hit_prob, hit_area = gout[3][:, 0], gout[3][:, 1]
+        if cfg.vis_grad:
+            v0h, e1h, e2h = gout[-3], gout[-2], gout[-1]
         flip = jnp.sum(nrm * d, axis=-1) > 0.0   # src/cpu_renderer.cpp:56
         adj_n = jnp.where(flip[:, None], -nrm, nrm)
+
+        # Warped-area reparameterization of emitter hits: ≡1.0 forward,
+        # carries the light-silhouette gradient backward (ops/warp.py).
+        # Bounce 0 has no sampled direction to reparameterize (camera
+        # rays are a fixed pixel grid) and keeps the detached semantics.
+        if cfg.vis_grad and bounce >= 1:
+            from spath_tpu.ops.warp import reparam_emitter_factor
+
+            vis_c = reparam_emitter_factor(
+                o, d, v0h, e1h, e2h, nrm, prev_n, hit)[:, None]
+        else:
+            vis_c = None
 
         rng_state, us = _bounce_uniforms(
             cfg, rng_state, hit, bounce, pixel_ids, n, sample_idx
@@ -197,16 +211,20 @@ def trace_radiance(
                     prev_pdf * prev_pdf + p_nee_here * p_nee_here, 1e-30
                 )
                 w_b = lax.stop_gradient(w_b)
-                radiance = radiance + jnp.where(
-                    hit3, throughput * emi * w_b[:, None], 0.0
-                )
+                term = throughput * emi * w_b[:, None]
+                if vis_c is not None:
+                    term = term * vis_c
+                radiance = radiance + jnp.where(hit3, term, 0.0)
             direct = direct_light(
                 scene, point, adj_n, safe, us[2], us[3], us[4], cfg,
                 hit_albedo=alb,
             )
             radiance = radiance + jnp.where(hit3, throughput * direct, 0.0)
         else:
-            radiance = radiance + jnp.where(hit3, throughput * emi, 0.0)
+            term = throughput * emi
+            if vis_c is not None:
+                term = term * vis_c
+            radiance = radiance + jnp.where(hit3, term, 0.0)
         throughput = jnp.where(
             hit3, throughput * alb * weight[:, None], throughput
         )
@@ -215,6 +233,7 @@ def trace_radiance(
         d = jnp.where(hit3, next_d, d)
         src = jnp.where(hit, idx, src)
         alive = hit
+        prev_n = adj_n if prev_n is None else jnp.where(hit3, adj_n, prev_n)
         if cfg.rr_start and bounce >= cfg.rr_start \
                 and bounce < cfg.max_bounces - 1:
             # Russian roulette on the CONTINUATION: survive with
@@ -413,25 +432,12 @@ def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0,
         from spath_tpu.parallel.shard_fast import render_pt_fast_sharded
 
         return render_pt_fast_sharded(scene, camera, cfg, seed, mesh)
-    from spath_tpu.ops.pallas import (
-        megakernel, megakernel_bigscene, megakernel_quality,
-    )
+    from spath_tpu.models.renderer import forward_renderer
 
-    on_accel = jax.devices()[0].platform != "cpu"
-    if on_accel and megakernel.supported(scene, cfg):
-        rad = megakernel.render_radiance_megakernel(scene, camera, cfg, seed)
-    elif on_accel and megakernel_quality.supported(scene, cfg):
-        rad = megakernel_quality.render_radiance_quality_megakernel(
-            scene, camera, cfg, seed)
-    elif on_accel and megakernel_bigscene.supported(scene, cfg):
-        # Large scenes: the HBM-streamed MXU megakernel (conformance
-        # estimator, T up to BIG_MAX_TRIS).
-        rad = megakernel_bigscene.render_radiance_bigscene(
-            scene, camera, cfg, seed,
-            fast=(cfg.intersect == "pallas_fast"))
-    else:
-        rad = render_radiance_compact(scene, camera, cfg, seed)
-    return jnp.clip(rad, 0.0, 1.0)
+    # Registry order is the selection policy: fused megakernels
+    # (conformance, then quality, then HBM-streamed), else the
+    # compacted wavefront (models/renderer.py).
+    return forward_renderer(scene, cfg).render(scene, camera, cfg, seed)
 
 
 def render_radiance_fastgrad(
@@ -458,23 +464,13 @@ def render_radiance_fastgrad(
 
         return render_radiance_fastgrad_sharded(scene, camera, cfg, seed,
                                                 mesh)
-    from spath_tpu.ops.pallas import (
-        megakernel_bigscene_grad, megakernel_grad, megakernel_quality_grad,
-    )
+    from spath_tpu.models.renderer import grad_renderer
 
-    on_accel = jax.devices()[0].platform != "cpu"
-    if on_accel and megakernel_grad.supported_grad(scene, cfg):
-        return megakernel_grad.render_radiance_mega(scene, camera, cfg, seed)
-    if on_accel and megakernel_quality_grad.supported_grad(scene, cfg):
-        return megakernel_quality_grad.render_radiance_quality_grad(
-            scene, camera, cfg, seed)
-    if on_accel and megakernel_bigscene_grad.supported_grad(scene, cfg):
-        # Large scenes (64 < T <= BIG_GRAD_MAX_TRIS): streamed fused
-        # forward + MXU scatter-add reverse sweep.
-        return megakernel_bigscene_grad.render_radiance_bigscene_grad(
-            scene, camera, cfg, seed,
-            fast=(cfg.intersect == "pallas_fast"))
-    return render_radiance(scene, camera, cfg, seed)
+    # Fused hand-written VJPs first (conformance, quality, then the
+    # streamed large-scene kernel), else the autodiff wavefront
+    # (models/renderer.py).
+    return grad_renderer(scene, cfg).render_radiance_grad(
+        scene, camera, cfg, seed)
 
 
 def _is_key(x) -> bool:
