@@ -219,6 +219,12 @@ def cmd_info(args) -> int:
     from spath_tpu.utils.native import build, native_version
 
     print(f"native runtime: {native_version() if build() else 'unavailable'}")
+    from spath_tpu.models.renderer import REGISTRY
+
+    print("renderers:")
+    for r in REGISTRY:
+        avail = "available" if r.available() else "unavailable here"
+        print(f"  {r.name:11s} {r.describe()} [{avail}]")
     return 0
 
 

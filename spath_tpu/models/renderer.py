@@ -1,0 +1,326 @@
+"""Single renderer interface over every backend — C11 parity.
+
+The reference defines one abstract renderer (``src/renderer.h:24-36``:
+``get_description``, ``render_flat``, ``render``) implemented by three
+peer backends that the app constructs eagerly and cycles with the ``r``
+key (``src/main.cpp:120-124, 242-248``). Round 1 reproduced the
+*backends* but picked between them ad hoc at each call site
+(``render_pt_fast``/``render_radiance_fastgrad``/viewer/CLI); this
+module is the missing single interface:
+
+  * ``Renderer`` — ``describe()`` / ``supports()`` / ``render_flat()`` /
+    ``render()`` / ``render_radiance()``, plus the framework-specific
+    gradient surface (``supports_grad()`` / ``render_radiance_grad()``)
+    the reference never had.
+  * ``REGISTRY`` — all backends in fused-first order. ``available()``
+    filters to what can run here (the analog of the reference's eager
+    ctor failures aborting the app — here unavailable backends are just
+    skipped).
+  * ``forward_renderer(scene, cfg)`` / ``grad_renderer(scene, cfg)`` —
+    THE selection rule, used by ``render_pt_fast`` and
+    ``render_radiance_fastgrad`` so every entry point agrees on which
+    kernel a config runs on.
+
+Camera-state mutations (``basic_renderer.h:25-54``) live on the
+immutable ``Camera`` (``move_relative``/``rotate_by``/``zoom``);
+viewport sizing is ``RenderConfig.width/height`` — the functional
+equivalents of ``set_delta_mov/rot/focal``/``set_viewport_size``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spath_tpu.camera import Camera
+from spath_tpu.config import RenderConfig
+from spath_tpu.scene import Scene
+
+
+def _on_accel() -> bool:
+    return jax.devices()[0].platform != "cpu"
+
+
+class Renderer:
+    """Abstract renderer (``src/renderer.h`` analog).
+
+    Subclasses override ``supports``/``render_radiance`` (and the grad
+    pair when they own a fused VJP). ``render`` applies the reference's
+    final clamp (``src/cpu_renderer.cpp:78``); ``render_flat`` defaults
+    to the shared XLA flat debug view (``src/cpu_renderer.cpp:81-101``
+    semantics — deterministic, RNG-free)."""
+
+    #: short stable identifier (CLI ``--backend``, viewer cycle)
+    name: str = "abstract"
+    #: human description (``get_description`` parity)
+    description: str = ""
+    #: False when render() must run OUTSIDE jit (host syncs inside —
+    #: it manages its own jitted pieces)
+    jittable: bool = True
+
+    def describe(self) -> str:
+        return self.description or self.name
+
+    def available(self) -> bool:
+        """Can this backend run in this process at all?"""
+        return True
+
+    def supports(self, scene: Scene, cfg: RenderConfig) -> bool:
+        """Can this backend render this (scene, config) exactly?"""
+        raise NotImplementedError
+
+    def supports_grad(self, scene: Scene, cfg: RenderConfig) -> bool:
+        return False
+
+    def render_radiance(self, scene, camera, cfg, seed=0) -> jax.Array:
+        """Unclamped mean radiance ``(H, W, 3)``."""
+        raise NotImplementedError
+
+    def render_radiance_grad(self, scene, camera, cfg, seed=0):
+        raise NotImplementedError(f"{self.name} has no gradient path")
+
+    def render(self, scene, camera, cfg, seed=0) -> jax.Array:
+        return jnp.clip(self.render_radiance(scene, camera, cfg, seed),
+                        0.0, 1.0)
+
+    def render_flat(self, scene, camera, cfg) -> jax.Array:
+        from spath_tpu.models.flat import render_flat
+
+        return render_flat(scene, camera, cfg)
+
+
+class WavefrontRenderer(Renderer):
+    """XLA wavefront — the general, differentiable reference path."""
+
+    name = "wavefront"
+    description = "XLA wavefront (all configs, jax.grad)"
+
+    def supports(self, scene, cfg) -> bool:
+        return True
+
+    def supports_grad(self, scene, cfg) -> bool:
+        return True
+
+    def render_radiance(self, scene, camera, cfg, seed=0):
+        from spath_tpu.models.pathtracer import render_radiance
+
+        return render_radiance(scene, camera, cfg, seed)
+
+    render_radiance_grad = render_radiance
+
+
+class CompactWavefrontRenderer(WavefrontRenderer):
+    """Wavefront with exact background-pixel stream compaction —
+    fastest general forward path (not differentiable: one host scalar
+    crosses for the live count)."""
+
+    name = "compact"
+    description = "XLA wavefront, stream-compacted (forward only)"
+    jittable = False        # one host scalar (live count) crosses
+
+    def supports_grad(self, scene, cfg) -> bool:
+        return False
+
+    def render_radiance(self, scene, camera, cfg, seed=0):
+        from spath_tpu.models.pathtracer import render_radiance_compact
+
+        return render_radiance_compact(scene, camera, cfg, seed)
+
+
+class MegakernelRenderer(Renderer):
+    """Fused whole-frame Pallas kernel, conformance estimator."""
+
+    name = "megakernel"
+    description = "fused Pallas megakernel (lcg+angle, small scenes)"
+
+    def available(self) -> bool:
+        return _on_accel()
+
+    def supports(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel
+
+        return self.available() and megakernel.supported(scene, cfg)
+
+    def supports_grad(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel_grad
+
+        return self.available() and megakernel_grad.supported_grad(
+            scene, cfg)
+
+    def render_radiance(self, scene, camera, cfg, seed=0):
+        from spath_tpu.ops.pallas import megakernel
+
+        return megakernel.render_radiance_megakernel(
+            scene, camera, cfg, seed)
+
+    def render_radiance_grad(self, scene, camera, cfg, seed=0):
+        from spath_tpu.ops.pallas import megakernel_grad
+
+        return megakernel_grad.render_radiance_mega(
+            scene, camera, cfg, seed)
+
+
+class QualityMegakernelRenderer(Renderer):
+    """Fused quality kernel: hash RNG + cosine + NEE/MIS + rr/stratify."""
+
+    name = "quality"
+    description = "fused quality megakernel (hash+cosine, NEE/MIS)"
+
+    def available(self) -> bool:
+        return _on_accel()
+
+    def supports(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel_quality
+
+        return self.available() and megakernel_quality.supported(
+            scene, cfg)
+
+    def supports_grad(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel_quality_grad
+
+        return (self.available()
+                and megakernel_quality_grad.supported_grad(scene, cfg))
+
+    def render_radiance(self, scene, camera, cfg, seed=0):
+        from spath_tpu.ops.pallas import megakernel_quality
+
+        return megakernel_quality.render_radiance_quality_megakernel(
+            scene, camera, cfg, seed)
+
+    def render_radiance_grad(self, scene, camera, cfg, seed=0):
+        from spath_tpu.ops.pallas import megakernel_quality_grad
+
+        return megakernel_quality_grad.render_radiance_quality_grad(
+            scene, camera, cfg, seed)
+
+
+class BigsceneRenderer(Renderer):
+    """HBM-streamed fused kernel for scenes beyond the SMEM table."""
+
+    name = "bigscene"
+    description = "HBM-streamed fused megakernel (large scenes)"
+
+    def available(self) -> bool:
+        return _on_accel()
+
+    def supports(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel_bigscene
+
+        return self.available() and megakernel_bigscene.supported(
+            scene, cfg)
+
+    def supports_grad(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel_bigscene_grad
+
+        return (self.available()
+                and megakernel_bigscene_grad.supported_grad(scene, cfg))
+
+    def render_radiance(self, scene, camera, cfg, seed=0):
+        from spath_tpu.ops.pallas import megakernel_bigscene
+
+        return megakernel_bigscene.render_radiance_bigscene(
+            scene, camera, cfg, seed,
+            fast=(cfg.intersect == "pallas_fast"))
+
+    def render_radiance_grad(self, scene, camera, cfg, seed=0):
+        from spath_tpu.ops.pallas import megakernel_bigscene_grad
+
+        return megakernel_bigscene_grad.render_radiance_bigscene_grad(
+            scene, camera, cfg, seed,
+            fast=(cfg.intersect == "pallas_fast"))
+
+
+class NativeRenderer(Renderer):
+    """The C++ CPU runtime — the independent golden (work-stealing
+    thread pool, recursive estimator; ``native/spath_native.cpp``)."""
+
+    name = "native"
+    description = "native C++ CPU runtime"
+    jittable = False
+
+    def available(self) -> bool:
+        from spath_tpu.utils.native import build
+
+        return bool(build())
+
+    def supports(self, scene, cfg) -> bool:
+        return (self.available() and cfg.rng == "lcg"
+                and cfg.sampler == "angle" and not cfg.nee)
+
+    def render_radiance(self, scene, camera, cfg, seed=0):
+        import numpy as np
+
+        from spath_tpu.utils.native import native_render_pt
+
+        img = native_render_pt(
+            cfg.width, cfg.height, np.asarray(scene.vertices),
+            np.asarray(scene.albedo), np.asarray(scene.emission),
+            cfg.spp, cfg.max_bounces, int(seed),
+            dict(pos=np.asarray(camera.pos),
+                 angle=np.asarray(camera.angle),
+                 focal=float(camera.focal)),
+        )
+        return jnp.asarray(img)
+
+    def render_flat(self, scene, camera, cfg):
+        import numpy as np
+
+        from spath_tpu.utils.native import native_render_flat
+
+        img = native_render_flat(
+            cfg.width, cfg.height, np.asarray(scene.vertices),
+            np.asarray(scene.albedo),
+            dict(pos=np.asarray(camera.pos),
+                 angle=np.asarray(camera.angle),
+                 focal=float(camera.focal)),
+        )
+        return jnp.asarray(img)
+
+
+#: All backends, fused-first. Selection takes the first match, so the
+#: order IS the performance policy: fused kernels, then the streamed
+#: large-scene kernel, then the compacted wavefront (always supported).
+REGISTRY: tuple[Renderer, ...] = (
+    MegakernelRenderer(),
+    QualityMegakernelRenderer(),
+    BigsceneRenderer(),
+    CompactWavefrontRenderer(),
+    WavefrontRenderer(),
+    NativeRenderer(),
+)
+
+
+def get_renderer(name: str) -> Renderer:
+    for r in REGISTRY:
+        if r.name == name:
+            return r
+    raise KeyError(f"unknown renderer {name!r}; "
+                   f"have {[r.name for r in REGISTRY]}")
+
+
+def available_renderers() -> list[Renderer]:
+    """Backends that can run in this process (viewer's ``r`` cycle)."""
+    return [r for r in REGISTRY if r.available()]
+
+
+def forward_renderer(scene: Scene, cfg: RenderConfig) -> Renderer:
+    """The fastest backend that renders (scene, cfg) exactly."""
+    for r in REGISTRY:
+        if r.name != "native" and r.supports(scene, cfg):
+            return r
+    return REGISTRY[-2]          # wavefront: supports everything
+
+
+def grad_renderer(scene: Scene, cfg: RenderConfig) -> Renderer:
+    """The fastest backend with a gradient path for (scene, cfg)."""
+    for r in REGISTRY:
+        if r.supports_grad(scene, cfg):
+            return r
+    return REGISTRY[-2]
+
+
+def render_any(scene, camera, cfg: RenderConfig, seed=0,
+               backend: str | None = None) -> jax.Array:
+    """Clamped render via a named backend, or the auto-selected one."""
+    r = get_renderer(backend) if backend else forward_renderer(scene, cfg)
+    return r.render(scene, camera, cfg, seed)

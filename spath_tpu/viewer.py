@@ -50,11 +50,19 @@ class ViewerState:
         self.path_tracing = False   # start in flat view (src/main.cpp:53)
         self.backend = "jax"
         self.seed = 0
-        from spath_tpu.models.pathtracer import render_pt_fast
-
         self._jit_flat = jax.jit(render_flat, static_argnames=("cfg",))
         self._jit_pt = jax.jit(render_pt, static_argnames=("cfg",))
-        self._jit_fast = jax.jit(render_pt_fast, static_argnames=("cfg",))
+        self._jits: dict[str, object] = {}
+
+    def _render_with(self, r):
+        """Render via backend ``r``, jit-cached per backend name."""
+        if not r.jittable:
+            return r.render(self.scene, self.camera, self.cfg, self.seed)
+        fn = self._jits.get(r.name)
+        if fn is None:
+            fn = jax.jit(r.render, static_argnames=("cfg",))
+            self._jits[r.name] = fn
+        return fn(self.scene, self.camera, self.cfg, self.seed)
 
     # --- key handlers (reference bindings) ---
 
@@ -81,66 +89,55 @@ class ViewerState:
         self.path_tracing = not self.path_tracing
 
     def cycle_backend(self) -> None:
-        from spath_tpu.utils.native import build
+        """The reference's ``r`` key (``src/main.cpp:120-124``): cycle
+        through the renderer REGISTRY (models/renderer.py). "jax" is the
+        auto slot — the fastest supported backend per frame."""
+        from spath_tpu.models.renderer import available_renderers
 
-        order = ["jax", "native"] if build() else ["jax"]
+        order = ["jax"] + [r.name for r in available_renderers()]
         i = order.index(self.backend) if self.backend in order else 0
         self.backend = order[(i + 1) % len(order)]
         print(f"Current renderer: {self.describe()}", file=sys.stderr)
 
     def describe(self) -> str:
         kind = "Path Tracing" if self.path_tracing else "Flat"
-        return f"{self.backend.upper()} - {kind}"
+        if self.backend == "jax":
+            return f"JAX (auto) - {kind}"
+        from spath_tpu.models.renderer import get_renderer
+
+        return f"{get_renderer(self.backend).describe()} - {kind}"
 
     # --- frame production ---
 
     def frame(self) -> np.ndarray:
+        from spath_tpu.models.renderer import (
+            forward_renderer, get_renderer,
+        )
+
         t = time.perf_counter()
-        if self.backend == "native":
-            from spath_tpu.utils.native import (
-                native_render_flat, native_render_pt,
+        if not self.path_tracing and self.backend != "native":
+            img = np.asarray(
+                self._jit_flat(self.scene, self.camera, self.cfg)
             )
-
-            kw = dict(
-                pos=np.asarray(self.camera.pos),
-                angle=np.asarray(self.camera.angle),
-                focal=float(self.camera.focal),
-            )
-            verts = np.asarray(self.scene.vertices)
-            alb = np.asarray(self.scene.albedo)
-            if self.path_tracing:
-                img = native_render_pt(
-                    self.cfg.width, self.cfg.height, verts, alb,
-                    np.asarray(self.scene.emission), self.cfg.spp,
-                    self.cfg.max_bounces, self.seed, kw,
-                )
-            else:
-                img = native_render_flat(
-                    self.cfg.width, self.cfg.height, verts, alb, kw
-                )
         else:
-            if self.path_tracing:
-                from spath_tpu.ops.pallas.megakernel import supported
-
-                if (jax.devices()[0].platform != "cpu"
-                        and supported(self.scene, self.cfg)):
-                    # Fused megakernel: ~5x the wavefront for interactive
-                    # conformance-mode viewing on TPU.
-                    from spath_tpu.models.pathtracer import render_pt_fast
-
-                    img = np.asarray(
-                        self._jit_fast(self.scene, self.camera, self.cfg,
-                                       self.seed)
-                    )
+            # auto slot: fastest supported backend for this config
+            r = (forward_renderer(self.scene, self.cfg)
+                 if self.backend == "jax" else get_renderer(self.backend))
+            try:
+                if self.path_tracing:
+                    img = np.asarray(self._render_with(r))
                 else:
                     img = np.asarray(
-                        self._jit_pt(self.scene, self.camera, self.cfg,
-                                     self.seed)
-                    )
-            else:
+                        r.render_flat(self.scene, self.camera, self.cfg))
+            except ValueError as e:
+                # backend can't render this config — fall back like the
+                # auto slot rather than crashing the window
+                print(f"{r.name}: {e}; falling back", file=sys.stderr)
                 img = np.asarray(
-                    self._jit_flat(self.scene, self.camera, self.cfg)
-                )
+                    self._jit_pt(self.scene, self.camera, self.cfg,
+                                 self.seed)
+                    if self.path_tracing else
+                    self._jit_flat(self.scene, self.camera, self.cfg))
         # per-frame wall-clock print, as all reference backends do
         print(f"({time.perf_counter() - t:.1f}s)", file=sys.stderr)
         return np.clip(img, 0.0, 1.0)
