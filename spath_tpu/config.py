@@ -82,9 +82,11 @@ class RenderConfig:
         term. The correction factor is exactly 1.0 in the forward pass
         (bit-identical images); it only adds gradient paths — e.g.
         translating an area light gets the finite-difference gradient
-        instead of the detached-sampling 0. Occluder (blocker)
-        silhouettes additionally need ``vis_grad_aux`` warps
-        (``ops/warp.py``).
+        instead of the detached-sampling 0. With nee, occluder (blocker)
+        silhouettes in shadows are additionally recovered by explicit
+        edge sampling of the shadow boundary
+        (``ops/warp.py::nee_boundary_term``, two extra hash draws whose
+        term is forward-exact 0).
       remat: rematerialize each sample's trace in the backward pass
         (``jax.checkpoint`` on the sample-scan body). Essential at high
         spp: without it every sample's per-bounce residuals live until

@@ -73,7 +73,8 @@ def _bounce_uniforms(cfg, rng_state, hit, bounce, pixel_ids, n,
         s2, u2 = lcg_next(s1)
         new_state = jnp.where(hit, s2, rng_state)
         return new_state, jnp.stack([u1, u2])
-    n_draws = (5 if cfg.nee else 2) + (1 if cfg.rr_start else 0)
+    n_draws = (5 if cfg.nee else 2) + (1 if cfg.rr_start else 0) \
+        + (2 if (cfg.vis_grad and cfg.nee) else 0)
     if cfg.rng == "hash":
         from spath_tpu.ops.rng import hash_uniforms
 
@@ -220,6 +221,19 @@ def trace_radiance(
                 hit_albedo=alb,
             )
             radiance = radiance + jnp.where(hit3, throughput * direct, 0.0)
+            if cfg.vis_grad:
+                # shadow-boundary (blocker silhouette) gradient: a
+                # forward-exact-0 edge-sampled line-integral term
+                # (ops/warp.py::nee_boundary_term); draws sit AFTER the
+                # rr slot so no existing stream shifts.
+                from spath_tpu.ops.warp import nee_boundary_term
+
+                ei = 5 + (1 if cfg.rr_start else 0)
+                bnd = nee_boundary_term(
+                    scene, point, adj_n, alb, safe, us[2],
+                    us[ei], us[ei + 1], cfg, hit)
+                radiance = radiance + jnp.where(hit3, throughput * bnd,
+                                                0.0)
         else:
             term = throughput * emi
             if vis_c is not None:
@@ -241,7 +255,9 @@ def trace_radiance(
             # The decision is detached; the 1/q reweight keeps gradients.
             q = lax.stop_gradient(jnp.clip(
                 jnp.max(throughput, axis=-1), 0.05, 1.0))
-            survive = us[-1] < q
+            # rr draw index is FIXED at the end of the base draws, so
+            # vis_grad's trailing edge draws never shift the rr stream.
+            survive = us[5 if cfg.nee else 2] < q
             throughput = jnp.where(
                 (hit & survive)[:, None], throughput / q[:, None],
                 throughput,

@@ -56,7 +56,9 @@ _PI = np.float64(np.arccos(-1.0))
 
 
 def supported_grad(scene, cfg: RenderConfig) -> bool:
-    return supported(scene, cfg) and scene.n_tris <= BIG_GRAD_MAX_TRIS
+    # vis_grad's warped/boundary adjoints live only in the wavefront
+    return (supported(scene, cfg) and scene.n_tris <= BIG_GRAD_MAX_TRIS
+            and not cfg.vis_grad)
 
 
 def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,

@@ -72,7 +72,9 @@ GRAD_MAX_TRIS = 64
 
 
 def supported_grad(scene, cfg: RenderConfig) -> bool:
-    return supported(scene, cfg) and scene.n_tris <= GRAD_MAX_TRIS
+    # vis_grad's warped/boundary adjoints live only in the wavefront
+    return (supported(scene, cfg) and scene.n_tris <= GRAD_MAX_TRIS
+            and not cfg.vis_grad)
 
 
 def _accr(n_tris: int) -> int:

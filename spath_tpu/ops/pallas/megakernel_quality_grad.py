@@ -51,7 +51,9 @@ _QCOLS = 19
 
 
 def supported_grad(scene, cfg: RenderConfig) -> bool:
-    return _fwd_supported(scene, cfg) and scene.n_tris <= GRAD_MAX_TRIS
+    # vis_grad's warped/boundary adjoints live only in the wavefront
+    return (_fwd_supported(scene, cfg) and scene.n_tris <= GRAD_MAX_TRIS
+            and not cfg.vis_grad)
 
 
 def _qaccr(n_tris: int) -> int:

@@ -355,7 +355,7 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
                     and bounce < cfg.max_bounces - 1:
                 q = lax.stop_gradient(jnp.clip(
                     jnp.max(throughput, axis=-1), 0.05, 1.0))
-                survive = us[-1] < q
+                survive = us[5 if cfg.nee else 2] < q
                 throughput = jnp.where(
                     (hit & survive)[:, None], throughput / q[:, None],
                     throughput,
