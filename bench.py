@@ -185,7 +185,7 @@ def main():
                  f"{dt_s:.3f}s -> {n_s / dt_s:.3e} rays/s "
                  f"({n_s / dt_s * 1e4:.3e} pairs/s)")
 
-        bcfg = scfg.replace(width=640, height=360, spp=4)
+        bcfg = scfg                                     # 1080p spp2
         n_b = bcfg.width * bcfg.height * bcfg.spp * bcfg.max_bounces
 
         def sloss(vertices, albedo, s, c):
@@ -199,8 +199,8 @@ def main():
         dt_b = _time_best(
             lambda: float(sbwd(stress.vertices, stress.albedo, stress,
                                cam)), n=1)
-        _log(f"stress 10k tris 640x360 spp4 fwd+bwd [exact]: {dt_b:.3f}s "
-             f"-> {n_b / dt_b:.3e} rays/s")
+        _log(f"stress 10k tris 1080p spp{bcfg.spp} fwd+bwd [exact]: "
+             f"{dt_b:.3f}s -> {n_b / dt_b:.3e} rays/s")
     except Exception as e:  # noqa: BLE001
         _log(f"stress failed: {type(e).__name__}: {e}")
 

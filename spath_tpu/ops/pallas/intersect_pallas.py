@@ -7,10 +7,20 @@ per bounce. This kernel keeps everything on-chip (SURVEY.md §7 step 4's
 "tiled rays×triangles Pallas kernel ... matmul-style blocking"):
 
   * grid = (ray tiles, triangle blocks), triangle block innermost;
-  * per step: four MXU matmuls ``(TILE_N, 16) @ (16, TILE_T)`` produce
-    the Möller–Trumbore quantities a, u·a, v·a, d·a for every pair in
-    VMEM (the Plücker feature factorization of ``ops/intersect.py``,
-    K padded 10→16);
+  * per step: ONE MXU matmul ``(4·TILE_T, 128) @ (128, TILE_N)``
+    produces the Möller–Trumbore quantities a, u·a, v·a, d·a for every
+    pair in VMEM (the Plücker feature factorization of
+    ``ops/intersect.py``). The K=128 dimension is NOT padding:
+    fp32-accurate products are built by packing the 6 cross terms of
+    the bf16 three-way split (hh, hm, mh, hl, mm, lh — exactly the
+    product set of XLA's ``Precision.HIGHEST`` 6-pass algorithm) into
+    K groups, so one single-pass bf16 matmul replaces six K-padded
+    passes — the MXU's mandatory K=128 lane padding becomes the fp32
+    emulation for free;
+  * orientation is triangles-on-sublanes × rays-on-lanes (the same
+    layout as the streamed megakernel sweep): the min/argmin reduce
+    along SUBLANES, so per-ray results are lane-native (1, N) rows and
+    nothing is ever transposed;
   * the sign-aware validity epilogue, the reference's ε bounds and
     source-triangle exclusion, and the (min-distance, lowest-index)
     reduction all happen in VMEM; only the per-ray running best
@@ -31,7 +41,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,20 +50,81 @@ _EPS = np.float32(EPSILON)
 _INV_EPS = np.float32(1.0 / EPSILON)
 _BIG = np.float32(MAX_DIST)
 
-# Tile sizes: 4 live (TILE_N, TILE_T) f32 buffers = 4 MB of VMEM at
-# 256×1024, well under the ~16 MB budget with inputs and accumulators.
-TILE_N = 256
-TILE_T = 1024
-_K = 16  # Plücker feature dim 10, padded to a lane-friendly 16
+# Tile sizes: rays on lanes, triangles on sublanes; the (4·TILE_T,
+# TILE_N) f32 quad buffer is 4 MB of VMEM, well under budget.
+TILE_N = 1024
+TILE_T = 256
+#: triangle sub-blocks per grid step — amortizes per-step pipeline
+#: overhead (kernel re-entry, output revisit) over 4 matmul+epilogue
+#: rounds while temporaries stay one sub-block (~4 MB) at a time.
+_NBLK = 4
+_K = 16    # Plücker feature dim 10, padded to a lane-friendly 16
+_KP = 128  # packed K: 6 split-term groups of 16 + 2 zero groups
 
 
-def _ray_features(o, d):
-    """(N, 16) per-ray features [dir, pos×dir, pos, 1, 0...]."""
+def _ray_rows(o, d):
+    """(16, N) per-ray feature rows [dir, pos×dir, pos, 1, 0...]."""
     n = o.shape[0]
     m = jnp.cross(o, d)
-    ones = jnp.ones((n, 1), jnp.float32)
-    zeros = jnp.zeros((n, _K - 10), jnp.float32)
-    return jnp.concatenate([d, m, o, ones, zeros], axis=1)
+    ones = jnp.ones((1, n), jnp.float32)
+    zeros = jnp.zeros((_K - 10, n), jnp.float32)
+    return jnp.concatenate([d.T, m.T, o.T, ones, zeros], axis=0)
+
+
+def _split3(x):
+    """Exact 3-way bf16 split: x == hi + mid + lo in float32.
+
+    fp32 has a 24-bit mantissa and bf16 an 8-bit one; each residual
+    subtraction is exact (Sterbenz), so three bf16 terms reconstruct the
+    fp32 value exactly.
+    """
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def pack_lhs(x, fast: bool, axis: int = 1):
+    """Pack ray-side features for the K-packed fp32-emulating matmul.
+
+    Term groups along K (each a 16-wide slot): exact mode multiplies
+    [xh, xh, xm, xh, xm, xl] against the rhs groups [wh, wm, wh, wl,
+    wm, wh] — products hh+hm+mh+hl+mm+lh, the 6-term set of XLA's
+    HIGHEST precision (dropped terms are < 2^-32 relative). Fast mode
+    zeroes the mid groups, keeping hh+hl+lh (the old 3-pass hi/lo
+    split); with packing both modes cost the SAME single MXU pass, so
+    fast survives only for config compatibility.
+    """
+    h, m, l = _split3(x)
+    z = jnp.zeros_like(h)
+    groups = [h, z, z, h, z, l] if fast else [h, h, m, h, m, l]
+    return jnp.concatenate(groups + [z, z], axis=axis)
+
+
+def pack_rhs(w, axis: int = 0):
+    """Pack triangle-side features: groups [wh, wm, wh, wl, wm, wh]
+    (mode-independent — see ``pack_lhs``)."""
+    h, m, l = _split3(w)
+    z = jnp.zeros_like(h)
+    return jnp.concatenate([h, m, h, l, m, h, z, z], axis=axis)
+
+
+def pack_tri_blocks(v0, v1, v2, tile_t: int):
+    """Streamed triangle table ``(4·Tp, 128)`` bf16 (Tp pre-padded to a
+    multiple of ``tile_t``): block ``j`` occupies rows ``[4·tile_t·j,
+    4·tile_t·(j+1))`` as [a | u_num | v_num | d_num] row groups of
+    ``tile_t`` triangles each; the K=128 columns are the packed rhs
+    split-term groups of ``pack_rhs``. Shared between this kernel's
+    BlockSpec-pipelined grid and the HBM-streaming megakernel DMAs."""
+    tp = v0.shape[0]
+    quads = jnp.stack(_tri_features(v0, v1, v2))      # (4, 16, Tp) f32
+    packed = pack_rhs(quads, axis=1)                  # (4, 128, Tp) bf16
+    return (
+        packed.reshape(4, _KP, tp // tile_t, tile_t)
+        .transpose(2, 0, 3, 1)
+        .reshape(4 * tp, _KP)
+    )
 
 
 def _tri_features(v0, v1, v2):
@@ -82,29 +152,15 @@ def _tri_features(v0, v1, v2):
     return g_a, g_u, g_v, g_d
 
 
-def _dot_f32(x, w):
-    """Full-fp32 MXU matmul (6 bf16 passes). Exact agreement with the
-    XLA path; the default single-pass bf16 loses ~8 bits of mantissa,
-    enough to flip nearest-hit indices on ~10% of rays."""
-    return jnp.dot(x, w, preferred_element_type=jnp.float32,
-                   precision=lax.Precision.HIGHEST)
+def _dot1(x, w):
+    """ONE bf16 MXU pass over K-packed operands — fp32-accurate by
+    construction of ``pack_lhs``/``pack_rhs`` (bf16 products are exact
+    in the fp32 accumulator; only the summation association differs
+    from XLA's HIGHEST 6-pass within ~1 ulp)."""
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
-def _dot_split(x, w):
-    """hi/lo bf16 split (3 bf16 passes, ~fp16-accurate): 1.5x faster
-    than fp32; flips ~0.03% of nearest indices on near-ties — the
-    "pallas_fast" mode."""
-    xh = x.astype(jnp.bfloat16)
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    wh = w.astype(jnp.bfloat16)
-    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = jnp.dot(xh, wh, preferred_element_type=jnp.float32)
-    acc += jnp.dot(xh, wl, preferred_element_type=jnp.float32)
-    acc += jnp.dot(xl, wh, preferred_element_type=jnp.float32)
-    return acc
-
-
-def _kernel(rfeat, src, ga, gu, gv, gd, best_d, best_i, *, dot):
+def _kernel(gfeat, rfeat, src, best_d, best_i):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -112,37 +168,51 @@ def _kernel(rfeat, src, ga, gu, gv, gd, best_d, best_i, *, dot):
         best_d[:] = jnp.full_like(best_d, _BIG)
         best_i[:] = jnp.full_like(best_i, -1)
 
-    r = rfeat[:]                                   # (TILE_N, 16)
-    a = dot(r, ga[:])
-    u = dot(r, gu[:])
-    v = dot(r, gv[:])
-    dd = dot(r, gd[:])
+    r = rfeat[:]                                     # (128, TILE_N) bf16
+    src_row = src[:]                                 # (1, TILE_N) int32
+    bd = best_d[:]
+    bi = best_i[:]
+    loc_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_T, TILE_N), 0)
 
-    abs_a = jnp.abs(a)
-    sgn = jnp.sign(a)
-    us = u * sgn
-    vs = v * sgn
-    ds = dd * sgn
-    valid = (
-        (abs_a >= _EPS)
-        & (us >= 0.0) & (us <= abs_a)
-        & (vs >= 0.0) & (us + vs <= abs_a)
-        & (ds > _EPS * abs_a) & (ds < _INV_EPS * abs_a)
-    )
-    tri_ids = j * TILE_T + jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_N, TILE_T), 1
-    )
-    valid &= tri_ids != src[:]                     # src: (TILE_N, 1)
-    dist = ds / jnp.where(abs_a > 0.0, abs_a, jnp.float32(1.0))
-    dist = jnp.where(valid, dist, _BIG)
+    for s in range(_NBLK):
+        blk = j * _NBLK + s                  # global triangle block id
+        quads = _dot1(gfeat[s * 4 * TILE_T:(s + 1) * 4 * TILE_T], r)
+        a = quads[0:TILE_T]                  # (TILE_T, TILE_N) f32
+        u = quads[TILE_T:2 * TILE_T]
+        v = quads[2 * TILE_T:3 * TILE_T]
+        dd = quads[3 * TILE_T:4 * TILE_T]
 
-    blk_d = jnp.min(dist, axis=1, keepdims=True)   # (TILE_N, 1)
-    blk_local = jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None]
-    blk_i = jnp.where(blk_d >= _BIG, -1, blk_local + j * TILE_T)
+        abs_a = jnp.abs(a)
+        sgn = jnp.sign(a)
+        us = u * sgn
+        vs = v * sgn
+        ds = dd * sgn
+        # min3 form of the bounds: us>=0 & vs>=0 & us+vs<=abs_a
+        inner = jnp.minimum(jnp.minimum(us, vs), abs_a - (us + vs))
+        valid = (
+            (abs_a >= _EPS)
+            & (inner >= 0.0)
+            & (ds > _EPS * abs_a) & (ds < _INV_EPS * abs_a)
+        )
+        # Local iota vs block-shifted source index (saves a (T, N) add).
+        valid &= loc_iota != src_row - blk * TILE_T
+        dist = ds / jnp.where(abs_a > 0.0, abs_a, jnp.float32(1.0))
+        dist = jnp.where(valid, dist, _BIG)
 
-    better = blk_d < best_d[:]   # strict: earlier (lower-index) block wins
-    best_d[:] = jnp.where(better, blk_d, best_d[:])
-    best_i[:] = jnp.where(better, blk_i, best_i[:])
+        blk_d = jnp.min(dist, axis=0, keepdims=True)  # (1, TILE_N)
+        # lowest tied local index — the XLA path's argmin tie-break
+        loc = jnp.min(
+            jnp.where(dist == blk_d, loc_iota, TILE_T),
+            axis=0, keepdims=True,
+        )
+        blk_i = jnp.where(blk_d >= _BIG, -1, loc + blk * TILE_T)
+
+        better = blk_d < bd  # strict: earlier (lower-index) block wins
+        bd = jnp.where(better, blk_d, bd)
+        bi = jnp.where(better, blk_i, bi)
+
+    best_d[:] = bd
+    best_i[:] = bi
 
 
 def _pad0(x, m, fill=0):
@@ -156,47 +226,40 @@ def _pad0(x, m, fill=0):
 
 def _forward(o, d, v0, v1, v2, src_idx, fast=False):
     n = o.shape[0]
-    rfeat = _pad0(_ray_features(o, d), TILE_N)
-    src = _pad0(src_idx.astype(jnp.int32), TILE_N, -1)[:, None]
-    v0p = _pad0(v0, TILE_T)
-    v1p = _pad0(v1, TILE_T)
-    v2p = _pad0(v2, TILE_T)
-    ga, gu, gv, gd = _tri_features(v0p, v1p, v2p)
-    np_, tp = rfeat.shape[0], ga.shape[1]
-    grid = (np_ // TILE_N, tp // TILE_T)
+    o_p = _pad0(o, TILE_N)
+    d_p = _pad0(d, TILE_N)
+    rfeat = pack_lhs(_ray_rows(o_p, d_p), fast, axis=0)  # (128, Np) bf16
+    src = _pad0(src_idx.astype(jnp.int32), TILE_N, -1)[None, :]
+    v0p = _pad0(v0, TILE_T * _NBLK)
+    v1p = _pad0(v1, TILE_T * _NBLK)
+    v2p = _pad0(v2, TILE_T * _NBLK)
+    gfeat = pack_tri_blocks(v0p, v1p, v2p, TILE_T)     # (4·Tp, 128) bf16
+    np_, tp = o_p.shape[0], v0p.shape[0]
+    grid = (np_ // TILE_N, tp // (TILE_T * _NBLK))
 
-    kernel = functools.partial(
-        _kernel, dot=_dot_split if fast else _dot_f32
-    )
     best_d, best_i = pl.pallas_call(
-        kernel,
+        _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, _K), lambda i, j: (i, 0),
+            pl.BlockSpec((4 * TILE_T * _NBLK, _KP), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((_KP, TILE_N), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, TILE_T), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, TILE_T), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, TILE_T), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, TILE_T), lambda i, j: (0, j),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((np_, 1), jnp.float32),
-            jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((1, np_), jnp.int32),
         ],
-    )(rfeat, src, ga, gu, gv, gd)
-    return best_d[:n, 0], best_i[:n, 0]
+    )(gfeat, rfeat, src)
+    return best_d[0, :n], best_i[0, :n]
 
 
 def _dist_selected(o, d, v0, v1, v2, idx):

@@ -22,9 +22,10 @@ the large-T design (BASELINE config 4: 10k–100k triangles, brute force
 
 Estimator: the conformance one (per-pixel LCG streams, angle-uniform
 sampler, forward-throughput radiance) — bit-compatible with the XLA
-wavefront at ``intersect='pallas'`` (identical 6-pass fp32 dots and
-sign-aware epilogue; ``fast=True`` uses the 3-pass hi/lo split of
-``intersect_pallas._dot_split``).
+wavefront at ``intersect='pallas'`` (identical K-packed single-pass
+fp32-accurate dots and sign-aware epilogue; see
+``intersect_pallas.pack_lhs`` — ``fast=True`` keeps only the hi/lo
+cross terms).
 """
 
 from __future__ import annotations
@@ -39,11 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spath_tpu.config import EPSILON, MAX_DIST, RenderConfig
-from spath_tpu.ops.pallas.intersect_pallas import (
-    _dot_f32,
-    _dot_split,
-    _tri_features,
-)
+from spath_tpu.ops.pallas.intersect_pallas import pack_lhs, pack_tri_blocks
 from spath_tpu.ops.pallas.megakernel import _lcg
 
 _EPS = np.float32(EPSILON)
@@ -58,7 +55,9 @@ TILE_R = 1024
 TILE_T = 256
 _K = 16
 #: packed feature-block rows per streamed block: 4 quantities
-#: (a, u_num, v_num, d_num) × TILE_T triangles, K padded 16 -> 128
+#: (a, u_num, v_num, d_num) × TILE_T triangles; K = 128 holds the
+#: 6 bf16 split-term groups of the fp32-emulating single-pass matmul
+#: (intersect_pallas.pack_lhs/pack_rhs), 16-wide each + 2 zero groups
 _QK = 128
 #: attribute columns: n(0:3) albedo(3:6) emission(6:9) pad(9:16)
 _ACOLS = 16
@@ -94,7 +93,7 @@ def _gather_dot(attr_rows, onehot):
 
 
 def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
-           sems, *, n_blocks: int, dot):
+           sems, *, n_blocks: int, fast: bool):
     """Nearest hit + attribute gather of every lane against ALL streamed
     triangle blocks.
 
@@ -106,26 +105,29 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
     lanes" orientation so that NOTHING is ever transposed — Mosaic
     relayouts of (R, TILE_T) blocks cost more than the matmuls, and
     transposes of narrow reductions drag i1 masks through illegal
-    transposes. Each streamed block is ONE packed
-    ``(4·TILE_T, 128) @ (128, R)`` MXU matmul (K padded 16 -> 128 with
-    zero feature rows — the MXU is output-rate-bound at this aspect, so
-    the padding is free and keeps every slice tile-aligned); the
-    min/argmin reduce along SUBLANES so results are lane-native (1, R)
-    rows, with the argmin as a min-over-tied-indices (the XLA path's
-    lowest-index tie-break).
+    transposes. Each streamed block is ONE packed single-pass bf16
+    ``(4·TILE_T, 128) @ (128, R)`` MXU matmul whose K=128 carries the
+    6 bf16 split-term groups that emulate fp32 products
+    (``intersect_pallas.pack_lhs``) — the lane padding the MXU forces
+    on K<128 matmuls IS the fp32 emulation, so exact mode costs one
+    pass, not six. The min/argmin reduce along SUBLANES so results are
+    lane-native (1, R) rows, with the argmin as a min-over-tied-indices
+    (the XLA path's lowest-index tie-break).
     """
-    # (128, R) ray feature matrix [dir, pos x dir, pos, 1, 0...] — the
-    # Pluecker factorization of ops/intersect.py::pluecker_features.
+    # (16, R) ray feature rows [dir, pos x dir, pos, 1, 0...] — the
+    # Pluecker factorization of ops/intersect.py::pluecker_features —
+    # K-packed to (128, R) bf16 split-term groups.
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
     ones = jnp.ones_like(ox)
     zeros = jnp.zeros_like(ox)
-    feat_t = jnp.concatenate(
+    feat = jnp.concatenate(
         [dx, dy, dz, mx, my, mz, ox, oy, oz, ones]
-        + [zeros] * (_QK - 10),
+        + [zeros] * (_K - 10),
         axis=0,
-    )                                        # (128, R)
+    )                                        # (16, R)
+    feat_t = pack_lhs(feat, fast, axis=0)    # (128, R) bf16
 
     r = ox.shape[1]
     best_d0 = jnp.full((1, r), _BIG, jnp.float32)
@@ -149,6 +151,10 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
     for d_ in dma(0, 0):
         d_.start()
 
+    # Loop-invariant: local triangle index rows (block shift is applied
+    # to the scalar side of each compare instead).
+    loc_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_T, r), 0)
+
     def body(j, carry):
         best_d, best_i, best_a = carry
         slot = lax.rem(j, 2)
@@ -162,7 +168,8 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
         for d_ in dma(slot, j):
             d_.wait()
 
-        quads = dot(gbuf[slot], feat_t)      # (4·TILE_T, R)
+        quads = jnp.dot(gbuf[slot], feat_t,
+                        preferred_element_type=jnp.float32)  # (4T, R)
         a = quads[0:TILE_T]
         u = quads[TILE_T:2 * TILE_T]
         v = quads[2 * TILE_T:3 * TILE_T]
@@ -173,15 +180,14 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
         us = u * sgn
         vs = v * sgn
         ds = dd * sgn
+        # min3 form of us>=0 & vs>=0 & us+vs<=abs_a (u,v bounds).
+        inner = jnp.minimum(jnp.minimum(us, vs), abs_a - (us + vs))
         valid = (
             (abs_a >= _EPS)
-            & (us >= 0.0) & (us <= abs_a)
-            & (vs >= 0.0) & (us + vs <= abs_a)
+            & (inner >= 0.0)
             & (ds > _EPS * abs_a) & (ds < _INV_EPS * abs_a)
         )
-        loc_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_T, r), 0)       # local triangle index
-        valid &= (loc_iota + j * TILE_T) != src
+        valid &= loc_iota != src - j * TILE_T
         dist = ds / jnp.where(abs_a > 0.0, abs_a, jnp.float32(1.0))
         dist = jnp.where(valid, dist, _BIG)
 
@@ -217,10 +223,9 @@ def _bigscene_walk(rays, seeds, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
     """Shared forward walk: (acc_r, acc_g, acc_b) rows after the spp
     loop. The backward kernel replays the same per-sample walk (see
     megakernel_bigscene_grad)."""
-    dot = _dot_split if fast else _dot_f32
     sweep = functools.partial(
         _sweep, gfeat_hbm=gfeat_hbm, attrs_hbm=attrs_hbm,
-        gbuf=gbuf, abuf=abuf, sems=sems, n_blocks=n_blocks, dot=dot,
+        gbuf=gbuf, abuf=abuf, sems=sems, n_blocks=n_blocks, fast=fast,
     )
 
     ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
@@ -317,13 +322,15 @@ def _bigscene_kernel(rays, seeds, gfeat_hbm, attrs_hbm, out, gbuf, abuf,
 def bigscene_tables(scene):
     """Build the streamed tables from a scene (differentiable).
 
-    Returns ``(gfeat (4·Tp, 128), attrs (ACOLS, Tp), n_blocks)`` with Tp
-    padded to TILE_T by degenerate always-miss triangles. Feature block
-    ``j`` occupies gfeat rows ``[4·TILE_T·j, 4·TILE_T·(j+1))`` as
-    [a | u_num | v_num | d_num] row groups of TILE_T triangles each, K
-    zero-padded 16 -> 128 so every DMA slice is lane-tile aligned and
-    the per-block matmul needs no operand slicing. Attributes are
-    stored as ROWS for the same reason.
+    Returns ``(gfeat (4·Tp, 128) bf16, attrs (ACOLS, Tp), n_blocks)``
+    with Tp padded to TILE_T by degenerate always-miss triangles.
+    Feature block ``j`` occupies gfeat rows ``[4·TILE_T·j,
+    4·TILE_T·(j+1))`` as [a | u_num | v_num | d_num] row groups of
+    TILE_T triangles each; the K=128 columns hold the 6 bf16 split-term
+    groups of the fp32-emulating single-pass matmul (see
+    ``intersect_pallas.pack_rhs``), so every DMA slice is lane-tile
+    aligned and half the bytes of an f32 table. Attributes are stored
+    as ROWS for the same reason.
     """
     v0, v1, v2 = scene.v0, scene.v1, scene.v2
     t = v0.shape[0]
@@ -331,17 +338,7 @@ def bigscene_tables(scene):
     if pad:
         z = jnp.zeros((pad, 3), jnp.float32)
         v0, v1, v2 = (jnp.concatenate([x, z]) for x in (v0, v1, v2))
-    tp = t + pad
-    quads = jnp.stack(_tri_features(v0, v1, v2))     # (4, 16, Tp)
-    quads = jnp.concatenate(
-        [quads, jnp.zeros((4, _QK - _K, tp), jnp.float32)], axis=1
-    )                                                # (4, 128, Tp)
-    # -> (n_blocks, 4, TILE_T, 128) -> (4·Tp, 128)
-    gfeat = (
-        quads.reshape(4, _QK, tp // TILE_T, TILE_T)
-        .transpose(2, 0, 3, 1)
-        .reshape(4 * tp, _QK)
-    )
+    gfeat = pack_tri_blocks(v0, v1, v2, TILE_T)      # (4·Tp, 128) bf16
 
     n = scene.normals()
     acols = jnp.concatenate(
@@ -386,7 +383,7 @@ def bigscene_call(rays, seeds, gfeat, attrs, cfg: RenderConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.float32),
+            pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.bfloat16),
             pltpu.VMEM((2, _ACOLS, TILE_T), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

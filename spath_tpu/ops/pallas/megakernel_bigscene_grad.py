@@ -38,11 +38,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spath_tpu.config import RenderConfig
-from spath_tpu.ops.pallas.intersect_pallas import _dot_f32, _dot_split
 from spath_tpu.ops.pallas.megakernel import _lcg, pack_rays
 from spath_tpu.ops.pallas.megakernel_bigscene import (
     _ACOLS,
     _QK,
+    _hilo,
     _shade_rows,
     _sweep,
     BIG_GRAD_MAX_TRIS,
@@ -64,10 +64,9 @@ def supported_grad(scene, cfg: RenderConfig) -> bool:
 def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
                          grays, gacc, gbuf, abuf, sems, *,
                          cfg: RenderConfig, n_blocks: int, fast: bool):
-    dot = _dot_split if fast else _dot_f32
     sweep = functools.partial(
         _sweep, gfeat_hbm=gfeat_hbm, attrs_hbm=attrs_hbm,
-        gbuf=gbuf, abuf=abuf, sems=sems, n_blocks=n_blocks, dot=dot,
+        gbuf=gbuf, abuf=abuf, sems=sems, n_blocks=n_blocks, fast=fast,
     )
 
     ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
@@ -174,15 +173,23 @@ def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
             # Mosaic cannot transpose i1 vectors).
             idx_col = jnp.where(hit, idx, -1).T           # (R, 1)
 
+            # hi/lo-split contribs against an exactly-representable
+            # bf16 one-hot: each scattered value keeps ~16 mantissa
+            # bits (vs 8 single-pass) at 1/3 the HIGHEST-precision
+            # matmul cost — far below the Monte-Carlo noise floor of
+            # the gradient estimate itself.
+            c_hi, c_lo = _hilo(contribs)
+
             def scatter(j, _):
                 onehot = (
                     (jax.lax.broadcasted_iota(jnp.int32, (r, TILE_T), 1)
                      + j * TILE_T) == idx_col
-                )
-                piece = jnp.dot(
-                    contribs, onehot.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST,
+                ).astype(jnp.bfloat16)
+                piece = (
+                    jnp.dot(c_hi, onehot,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(c_lo, onehot,
+                              preferred_element_type=jnp.float32)
                 )
                 gacc[:, pl.ds(j * TILE_T, TILE_T)] += piece
                 return 0
@@ -236,7 +243,7 @@ def bigscene_bwd_call(rays, seeds, gfeat, attrs, gbar, cfg: RenderConfig,
         ],
         scratch_shapes=[
             pltpu.VMEM((_ACOLS, tp), jnp.float32),
-            pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.float32),
+            pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.bfloat16),
             pltpu.VMEM((2, _ACOLS, TILE_T), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

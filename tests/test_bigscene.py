@@ -2,10 +2,11 @@
 interpret-mode conformance at T > 1024 and adjoint correctness.
 
 The kernel's intersection uses the SAME Plücker matmul formulation and
-6-pass fp32 dots as the XLA wavefront at ``intersect='pallas'``, so
-distances/indices agree bitwise; shading/trig are separately compiled
-programs, so image comparisons carry the usual small path-flip budget
-(see tests/test_pallas.py).
+K-packed single-pass fp32-emulating dots as the XLA wavefront at
+``intersect='pallas'`` (intersect_pallas.pack_lhs/pack_rhs), so
+distances/indices agree to reordered-fp32-summation ulps; shading/trig
+are separately compiled programs, so image comparisons carry the usual
+small path-flip budget (see tests/test_pallas.py).
 """
 
 import numpy as np
