@@ -51,15 +51,19 @@ class RenderConfig:
       intersect: implementation of the brute-force rays×triangles nearest
         hit. "reference" = straight Möller–Trumbore in XLA; "pluecker" =
         the MXU matmul formulation; "pallas" = the tiled Pallas TPU
-        kernel (full fp32, exact); "pallas_fast" = the same kernel with
-        hi/lo-bf16 matmuls (1.5× faster, ~0.03% of nearest indices may
-        flip on near-ties).
+        kernel (fp32-accurate: the K-packed bf16 split computes the
+        exact fp32 product set but sums it in a different order —
+        ~1e-5 relative on distances, nearest indices preserved on all
+        conformance suites); "pallas_fast" = the same kernel keeping
+        only the hi/lo cross terms (~0.03% of nearest indices may flip
+        on near-ties).
       nee: next-event estimation — at every path vertex, additionally
         sample a point on an emissive triangle and add the area-form
         direct-light term (``ops/nee.py``). Lower variance AND the source
         of smooth (reparameterized) camera/vertex gradients. Requires
-        rng="threefry" (the conformance LCG stream layout has no slot
-        for the extra draws).
+        rng="threefry" or "hash" (the conformance LCG stream layout has
+        no slot for the extra draws); the fused quality megakernel
+        additionally requires "hash" (``megakernel_quality.supported``).
       mis: with nee, combine the light sample and the BSDF-sampled
         emitter hits by the power heuristic (β=2) instead of dropping
         the latter — robust when lights are large or close, where BSDF

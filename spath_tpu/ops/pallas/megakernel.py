@@ -43,6 +43,31 @@ _BIG = np.float32(MAX_DIST)
 _PI = np.float64(np.arccos(-1.0))
 
 TILE_N = 1024
+#: lane-tile quantum: every ray-row block must be a whole number of
+#: 128-lane vregs; tiles smaller than TILE_N (small sharded frames) are
+#: rounded up to this instead of to TILE_N (see ``shard_lane_multiple``).
+LANE = 128
+
+
+def tile_for(n_lanes: int, tile_max: int = TILE_N) -> int:
+    """Grid tile for a packed lane count: ``TILE_N`` when the buffer is
+    at least one full tile, else the whole (LANE-aligned) buffer as a
+    single block. Keeps small sharded frames from padding to
+    ``n_devices x TILE_N`` lanes (64x wasted work on a 128-pixel test
+    frame — the round-2 multichip-dryrun timeout)."""
+    t = min(tile_max, n_lanes)
+    assert n_lanes % t == 0 and t % LANE == 0, (n_lanes, t)
+    return t
+
+
+def shard_lane_multiple(n_pixels: int, n_devices: int,
+                        tile_max: int = TILE_N) -> int:
+    """``lane_multiple`` for ``pack_rays`` under an ``n_devices`` shard:
+    every device gets the same whole-vreg lane count, shrunk below
+    ``tile_max`` when the frame doesn't fill ``n_devices x tile_max``."""
+    per = -(-n_pixels // n_devices)          # ceil pixels per device
+    per = -(-per // LANE) * LANE             # whole 128-lane vregs
+    return n_devices * min(tile_max, per)
 #: Scenes up to this unroll the triangle walk as straight-line code
 #: (fastest; compile time grows with T).
 UNROLL_TRIS = 16
@@ -277,18 +302,19 @@ def pack_rays(camera, cfg: RenderConfig, seed, lane_multiple: int = TILE_N):
 def mega_call(rays, seeds, tri, cfg: RenderConfig, n_tris: int):
     """Raw forward pallas_call on packed rows → ``(4, Np)`` radiance rows."""
     np_ = rays.shape[1]
+    tile = tile_for(np_)
     kernel = functools.partial(_megakernel, cfg=cfg, n_tris=n_tris)
     return pl.pallas_call(
         kernel,
-        grid=(np_ // TILE_N,),
+        grid=(np_ // tile,),
         in_specs=[
-            pl.BlockSpec((8, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tri table: scalar reads
         ],
-        out_specs=pl.BlockSpec((4, TILE_N), lambda i: (0, i),
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
     )(rays, seeds, tri)

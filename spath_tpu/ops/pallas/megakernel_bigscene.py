@@ -365,21 +365,24 @@ def supported(scene, cfg: RenderConfig) -> bool:
 def bigscene_call(rays, seeds, gfeat, attrs, cfg: RenderConfig,
                   n_blocks: int, fast: bool = False):
     """Raw forward pallas_call on packed rows → ``(4, Np)`` rows."""
+    from spath_tpu.ops.pallas.megakernel import tile_for
+
     np_ = rays.shape[1]
+    tile = tile_for(np_, TILE_R)
     kernel = functools.partial(
         _bigscene_kernel, cfg=cfg, n_blocks=n_blocks, fast=fast)
     return pl.pallas_call(
         kernel,
-        grid=(np_ // TILE_R,),
+        grid=(np_ // tile,),
         in_specs=[
-            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_R), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),    # gfeat stays in HBM
             pl.BlockSpec(memory_space=pltpu.HBM),    # attrs stays in HBM
         ],
-        out_specs=pl.BlockSpec((4, TILE_R), lambda i: (0, i),
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
         scratch_shapes=[

@@ -214,27 +214,30 @@ def bigscene_bwd_call(rays, seeds, gfeat, attrs, gbar, cfg: RenderConfig,
                       n_blocks: int, fast: bool = False):
     """Raw backward pallas_call → ``(gattrs (ACOLS, Tp), grays (8, Np))``
     — the attribute-table adjoint in the same row layout as ``attrs``."""
+    from spath_tpu.ops.pallas.megakernel import tile_for
+
     np_ = rays.shape[1]
+    tile = tile_for(np_, TILE_R)
     tp = attrs.shape[1]
     kernel = functools.partial(
         _bigscene_bwd_kernel, cfg=cfg, n_blocks=n_blocks, fast=fast)
     return pl.pallas_call(
         kernel,
-        grid=(np_ // TILE_R,),
+        grid=(np_ // tile,),
         in_specs=[
-            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_R), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((4, TILE_R), lambda i: (0, i),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((_ACOLS, tp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

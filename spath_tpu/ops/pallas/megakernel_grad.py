@@ -48,7 +48,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spath_tpu.config import RenderConfig
 from spath_tpu.ops.pallas.megakernel import (
-    TILE_N,
     _gather_cols,
     _lcg,
     _nearest,
@@ -56,6 +55,7 @@ from spath_tpu.ops.pallas.megakernel import (
     mega_call,
     pack_rays,
     supported,
+    tile_for,
 )
 
 _PI = np.float64(np.arccos(-1.0))
@@ -63,11 +63,12 @@ _PI = np.float64(np.arccos(-1.0))
 #: adjoint columns per triangle: v0(3) e1(3) e2(3) n(3) albedo(3) emission(3)
 _GCOLS = 18
 
-#: The backward kernel keeps T×9 lane-parallel accumulator rows resident
-#: in VMEM (T×18 with the position chain) and unrolls the idx-masked
-#: accumulation over triangles; cap it well below the forward kernel's
-#: fori-loop MAX_TRIS. Larger scenes fall back to XLA autodiff of the
-#: wavefront renderer.
+#: Up to this many triangles the per-triangle adjoints accumulate into
+#: T×9 lane-parallel VMEM rows with an unrolled idx-masked add per
+#: triangle (exact float32 adds — the layout the exactness unit tests
+#: pin down). Above it the unroll would blow program size and VMEM, so
+#: the scatter switches to the MXU (see ``_scatter_rows``).
+GRAD_UNROLL_TRIS = 64
 GRAD_MAX_TRIS = 64
 
 
@@ -320,29 +321,30 @@ def mega_bwd_call(rays, seeds, tri, gbar, cfg: RenderConfig, n_tris: int):
     ``src/cl_renderer.cpp:211-214``).
     """
     np_ = rays.shape[1]
+    tile = tile_for(np_)
     accr = _accr(n_tris)
     kernel = functools.partial(_mega_bwd_kernel, cfg=cfg, n_tris=n_tris)
     gtab_rows, grays = pl.pallas_call(
         kernel,
-        grid=(np_ // TILE_N,),
+        grid=(np_ // tile,),
         in_specs=[
-            pl.BlockSpec((8, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             # constant index: VMEM-resident accumulator across the grid
-            pl.BlockSpec((accr, TILE_N), lambda i: (0, 0),
+            pl.BlockSpec((accr, tile), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((accr, TILE_N), jnp.float32),
+            jax.ShapeDtypeStruct((accr, tile), jnp.float32),
             jax.ShapeDtypeStruct((8, np_), jnp.float32),
         ],
     )(rays, seeds, tri, gbar)

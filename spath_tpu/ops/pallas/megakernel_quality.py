@@ -23,14 +23,10 @@ renderer (``render_radiance``) instead.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from spath_tpu.config import RenderConfig
 from spath_tpu.ops.pallas.megakernel import (
@@ -44,7 +40,6 @@ from spath_tpu.ops.pallas.megakernel import (
 )
 from spath_tpu.ops.pallas.megakernel import (
     MAX_TRIS,
-    TILE_N,
     UNROLL_TRIS,
     _gather_cols,
     _nearest,
@@ -514,21 +509,7 @@ def render_radiance_quality_megakernel(scene, camera, cfg: RenderConfig,
     rays, pix, n = pack_rays(camera, cfg, 0)
     keys = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix
     tri = quality_table(scene)
-    np_ = rays.shape[1]
-    kernel = functools.partial(_quality_kernel, cfg=cfg,
-                               n_tris=scene.n_tris)
-    out = pl.pallas_call(
-        kernel,
-        grid=(np_ // TILE_N,),
-        in_specs=[
-            pl.BlockSpec((8, TILE_N), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((4, TILE_N), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
-    )(rays, keys, tri)
+    from spath_tpu.ops.pallas.megakernel_quality_grad import quality_call
+
+    out = quality_call(rays, keys, tri, cfg, scene.n_tris)
     return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

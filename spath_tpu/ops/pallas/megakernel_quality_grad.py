@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spath_tpu.config import RenderConfig
-from spath_tpu.ops.pallas.megakernel import TILE_N, pack_rays
+from spath_tpu.ops.pallas.megakernel import pack_rays, tile_for
 from spath_tpu.ops.pallas.megakernel_grad import GRAD_MAX_TRIS
 from spath_tpu.ops.pallas.megakernel_quality import (
     _GOLD,
@@ -283,18 +283,19 @@ def quality_call(rays, keys, tri, cfg: RenderConfig, n_tris: int):
     from spath_tpu.ops.pallas.megakernel_quality import _quality_kernel
 
     np_ = rays.shape[1]
+    tile = tile_for(np_)
     kernel = functools.partial(_quality_kernel, cfg=cfg, n_tris=n_tris)
     return pl.pallas_call(
         kernel,
-        grid=(np_ // TILE_N,),
+        grid=(np_ // tile,),
         in_specs=[
-            pl.BlockSpec((8, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((4, TILE_N), lambda i: (0, i),
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
     )(rays, keys, tri)
@@ -306,28 +307,29 @@ def quality_bwd_call(rays, keys, tri, gbar, cfg: RenderConfig,
     for this wavefront; the shard_map path psums ``gtab19`` over the
     mesh axis (see ``megakernel_grad.mega_bwd_call``)."""
     np_ = rays.shape[1]
+    tile = tile_for(np_)
     accr = _qaccr(n_tris)
     kernel = functools.partial(_qbwd_kernel, cfg=cfg, n_tris=n_tris)
     gtab_rows, grays = pl.pallas_call(
         kernel,
-        grid=(np_ // TILE_N,),
+        grid=(np_ // tile,),
         in_specs=[
-            pl.BlockSpec((8, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((accr, TILE_N), lambda i: (0, 0),
+            pl.BlockSpec((accr, tile), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((accr, TILE_N), jnp.float32),
+            jax.ShapeDtypeStruct((accr, tile), jnp.float32),
             jax.ShapeDtypeStruct((8, np_), jnp.float32),
         ],
     )(rays, keys, tri, gbar)

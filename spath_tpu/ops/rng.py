@@ -20,6 +20,22 @@ Two modes:
   * **threefry** — ``jax.random`` counter-based keys (quality mode): keyed
     per (pixel, sample, bounce) via ``fold_in``, the TPU-native equivalent
     of the ledger item "RNG becomes stateless counter-based threefry".
+
+Deliberately NOT reproduced (SURVEY.md C5/C6):
+
+  * ``basic_dist`` (``src/frand.h:26-30``) wraps global-state
+    ``std::rand()`` with the process-default seed — its stream depends on
+    libc, link order, and whatever else called ``rand()``, so it is not a
+    stable golden on ANY machine (the reference itself only uses it in the
+    single-threaded debug path, ``src/cpu_renderer.cpp:105-116``). A
+    global-state RNG is also unimplementable under SPMD tracing without
+    serializing every lane. Conformance mode is the LCG above — the
+    scheme the reference's own GPU kernels use.
+  * ``vec_dist`` (``src/frand.h:32-50``) — the pre-shuffled-table debug
+    RNG — exists host-side as ``TableRng`` below for debugging parity,
+    but is not a device mode: it relies on ``std::random_shuffle``
+    (removed in C++17) with unspecified engine behavior, so its exact
+    stream is not reproducible across toolchains either.
 """
 
 from __future__ import annotations

@@ -62,14 +62,16 @@ def fused_available() -> bool:
 
 
 def _pack_conformance(scene, camera, cfg, seed, mesh):
-    lanes = mesh.devices.size * megakernel.TILE_N
+    lanes = megakernel.shard_lane_multiple(
+        cfg.n_pixels, mesh.devices.size)
     rays, seeds, n = megakernel.pack_rays(
         camera, cfg, seed, lane_multiple=lanes)
     return rays, seeds, megakernel._scene_table(scene), n
 
 
 def _pack_quality(scene, camera, cfg, seed, mesh):
-    lanes = mesh.devices.size * megakernel.TILE_N
+    lanes = megakernel.shard_lane_multiple(
+        cfg.n_pixels, mesh.devices.size)
     rays, pix, n = megakernel.pack_rays(camera, cfg, 0, lane_multiple=lanes)
     keys = (
         jnp.asarray(seed).astype(jnp.uint32) * megakernel_quality._GOLD
@@ -150,7 +152,8 @@ _rows_sharded.defvjp(_rows_fwd, _rows_bwd)
 def _pack_bigscene(scene, camera, cfg, seed, mesh):
     from spath_tpu.ops.pallas import megakernel_bigscene as big
 
-    lanes = mesh.devices.size * big.TILE_R
+    lanes = megakernel.shard_lane_multiple(
+        cfg.n_pixels, mesh.devices.size, big.TILE_R)
     rays, seeds, n = megakernel.pack_rays(
         camera, cfg, seed, lane_multiple=lanes)
     gfeat, attrs, n_blocks = big.bigscene_tables(scene)
