@@ -69,12 +69,74 @@ _GCOLS = 18
 #: pin down). Above it the unroll would blow program size and VMEM, so
 #: the scatter switches to the MXU (see ``_scatter_rows``).
 GRAD_UNROLL_TRIS = 64
-GRAD_MAX_TRIS = 64
+#: Backward cap — equal to the forward kernel's ``MAX_TRIS``: above
+#: ``GRAD_UNROLL_TRIS`` the scatter-add keeps only a (24, Tp)
+#: triangle-major accumulator in VMEM (96 kB at T=1024), so the whole
+#: fused forward range is differentiable on the fused path (round-2
+#: verdict item 3; previously 64).
+GRAD_MAX_TRIS = 1024
+
+#: scatter accumulator rows: ``_GCOLS``/``_QCOLS`` (18/19) padded to a
+#: whole number of bf16 sublane tiles (16) for the matmul operand
+_SROWS = 32
+
+
+def _acc_tp(n_tris: int) -> int:
+    """Scatter-mode accumulator lane count (triangles on lanes)."""
+    return -(-n_tris // 128) * 128
+
+
+def _split3(x):
+    """Exact 3-way bf16 split: ``x == hi + mid + lo`` for every normal
+    float32 (3×8 mantissa bits; each subtraction is exact — the same
+    construction as ``intersect_pallas.pack_lhs``), so the one-hot
+    scatter matmuls below compute exact fp32 products and only the
+    f32-accumulator summation order differs from unrolled masked adds."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _scatter_rows(gacc, rows, idx_sentinel, tp: int):
+    """MXU one-hot scatter-add (the ``megakernel_bigscene_grad``
+    design brought to the SMEM-table kernels, at full fp32 accuracy):
+
+        ``gacc (_SROWS, tp) += concat(rows) (_SROWS, N) @ onehot (N, tp)``
+
+    ``rows`` must already be zero on lanes the scatter should skip;
+    ``idx_sentinel`` is the per-lane target triangle with ``-1`` for
+    masked lanes (no one-hot column). The contribution matrix is split
+    3-way bf16 (exact), the one-hot is exactly representable, so each
+    scattered term is the exact fp32 product."""
+    n = rows[0].shape[1]
+    cmat = jnp.concatenate(
+        list(rows) + [jnp.zeros((_SROWS - len(rows), n), jnp.float32)],
+        axis=0,
+    )
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, tp), 1)
+        == idx_sentinel.T
+    ).astype(jnp.bfloat16)
+    for term in _split3(cmat):
+        gacc = gacc + jnp.dot(term, onehot,
+                              preferred_element_type=jnp.float32)
+    return gacc
 
 
 def supported_grad(scene, cfg: RenderConfig) -> bool:
+    """Routing predicate (registry + sharded fast path).
+
+    Capped at ``GRAD_UNROLL_TRIS``, NOT the kernel's own
+    ``GRAD_MAX_TRIS``: for the conformance estimator above the unroll
+    cap the HBM-streamed MXU kernel (``megakernel_bigscene_grad``, next
+    in the registry) is measured 2-4x faster than this kernel's O(T)
+    SMEM scalar walk (~2.2e10 VPU pairs/s vs ~8e10 MXU pairs/s), so
+    64 < T <= 1024 scenes route there. ``render_radiance_mega`` itself
+    accepts the full ``GRAD_MAX_TRIS`` range (scatter-add mode)."""
     # vis_grad's warped/boundary adjoints live only in the wavefront
-    return (supported(scene, cfg) and scene.n_tris <= GRAD_MAX_TRIS
+    return (supported(scene, cfg) and scene.n_tris <= GRAD_UNROLL_TRIS
             and not cfg.vis_grad)
 
 
@@ -236,13 +298,20 @@ def _bwd_tile(rays, seeds, tri, gbar, *, cfg, n_tris,
             contribs = geom + (nbar_x, nbar_y, nbar_z,
                                abar_r, abar_g, abar_b,
                                ebar_r, ebar_g, ebar_b)
-            ncols = _GCOLS - start
-            for t in range(n_tris):
-                m = hit & (idx == t)
-                base = t * ncols
-                for c in range(start, _GCOLS):
-                    k = base + c - start
-                    acc[k] = acc[k] + jnp.where(m, contribs[c], 0.0)
+            if scatter:
+                # every contrib row is zero on non-hit lanes by
+                # construction (each chain is hit-masked above), so the
+                # -1 sentinel is the only extra masking needed
+                acc[0] = _scatter_rows(
+                    acc[0], contribs, jnp.where(hit, idx, -1), tp)
+            else:
+                ncols = _GCOLS - start
+                for t in range(n_tris):
+                    m = hit & (idx == t)
+                    base = t * ncols
+                    for c in range(start, _GCOLS):
+                        k = base + c - start
+                        acc[k] = acc[k] + jnp.where(m, contribs[c], 0.0)
 
             if position_chain:
                 if bounce == 0:
@@ -262,23 +331,31 @@ def _bwd_tile(rays, seeds, tri, gbar, *, cfg, n_tris,
                     ob_z = ob_z + jnp.where(hit, g1 * tnz, 0.0)
         return seed, tuple(acc), tuple(gry)
 
+    scatter = n_tris > GRAD_UNROLL_TRIS
+    tp = _acc_tp(n_tris)
     start = 0 if position_chain else 9
     ncols = _GCOLS - start
-    acc0 = tuple(zrow for _ in range(n_tris * ncols))
+    if scatter:
+        acc0 = (jnp.zeros((_SROWS, tp), jnp.float32),)
+    else:
+        acc0 = tuple(zrow for _ in range(n_tris * ncols))
     gry0 = tuple(zrow for _ in range(6 if position_chain else 0))
     _, acc, gry = lax.fori_loop(
         0, cfg.spp, sample_body, (seeds[0:1, :], acc0, gry0)
     )
-    accr = _accr(n_tris)
     n_lanes = ox0.shape[1]
     zpad = jnp.zeros((1, n_lanes), jnp.float32)
-    # Re-expand to the full (T, 18) column layout.
-    rows = []
-    for t in range(n_tris):
-        rows.extend([zpad] * start)
-        rows.extend(acc[t * ncols:(t + 1) * ncols])
-    rows.extend([zpad] * (accr - n_tris * _GCOLS))
-    gtab_rows = jnp.concatenate(rows, axis=0)
+    if scatter:
+        gtab_rows = acc[0]                 # (_SROWS, tp) triangle-major
+    else:
+        accr = _accr(n_tris)
+        # Re-expand to the full (T, 18) column layout.
+        rows = []
+        for t in range(n_tris):
+            rows.extend([zpad] * start)
+            rows.extend(acc[t * ncols:(t + 1) * ncols])
+        rows.extend([zpad] * (accr - n_tris * _GCOLS))
+        gtab_rows = jnp.concatenate(rows, axis=0)
     gry = list(gry) if position_chain else [zpad] * 6
     gray_rows = jnp.concatenate(
         gry + [jnp.zeros((2, n_lanes), jnp.float32)], axis=0
@@ -322,7 +399,11 @@ def mega_bwd_call(rays, seeds, tri, gbar, cfg: RenderConfig, n_tris: int):
     """
     np_ = rays.shape[1]
     tile = tile_for(np_)
-    accr = _accr(n_tris)
+    scatter = n_tris > GRAD_UNROLL_TRIS
+    if scatter:
+        gshape = (_SROWS, _acc_tp(n_tris))    # triangle-major
+    else:
+        gshape = (_accr(n_tris), tile)        # lane-parallel rows
     kernel = functools.partial(_mega_bwd_kernel, cfg=cfg, n_tris=n_tris)
     gtab_rows, grays = pl.pallas_call(
         kernel,
@@ -338,16 +419,18 @@ def mega_bwd_call(rays, seeds, tri, gbar, cfg: RenderConfig, n_tris: int):
         ],
         out_specs=[
             # constant index: VMEM-resident accumulator across the grid
-            pl.BlockSpec((accr, tile), lambda i: (0, 0),
+            pl.BlockSpec(gshape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((accr, tile), jnp.float32),
+            jax.ShapeDtypeStruct(gshape, jnp.float32),
             jax.ShapeDtypeStruct((8, np_), jnp.float32),
         ],
     )(rays, seeds, tri, gbar)
+    if scatter:
+        return gtab_rows[:_GCOLS, :n_tris].T, grays
     per = jnp.sum(gtab_rows, axis=1)[: n_tris * _GCOLS]
     return per.reshape(n_tris, _GCOLS), grays
 
@@ -380,7 +463,8 @@ def render_radiance_mega(scene, camera, cfg: RenderConfig, seed=0):
     scene vertices / albedo / emission (via the differentiable scene
     table) and to the camera (via the packed rays).
     """
-    if not supported_grad(scene, cfg):
+    if not (supported(scene, cfg) and scene.n_tris <= GRAD_MAX_TRIS
+            and not cfg.vis_grad):
         raise ValueError(
             "megakernel VJP supports lcg+angle, T <= GRAD_MAX_TRIS")
     rays, seeds, n = pack_rays(camera, cfg, seed)

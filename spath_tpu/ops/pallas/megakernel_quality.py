@@ -110,11 +110,14 @@ def _select_gather_light(tri, u_sel, cols, n_tris):
     cols = tuple(cols)
     li = jnp.zeros_like(u_sel, dtype=jnp.int32)
     outs = [jnp.zeros_like(u_sel) for _ in cols]
-    prev_le = jnp.ones_like(u_sel, dtype=jnp.bool_)   # cdf[-1] = -inf
+    # NOTE: the crossing flag is carried as int32, not bool — Mosaic
+    # cannot legalize an i1 vector as an scf.for loop carry, so a bool
+    # carry compiles in interpret mode but fails on real TPU.
+    prev_le = jnp.ones_like(li)                       # cdf[-1] = -inf
 
     def step(t, li, outs, prev_le, last: bool):
-        le = tri[t, _COL_CDF] <= u_sel
-        m = prev_le if last else prev_le & jnp.logical_not(le)
+        le = (tri[t, _COL_CDF] <= u_sel).astype(jnp.int32)
+        m = (prev_le if last else prev_le * (1 - le)) != 0
         li = jnp.where(m, t, li)
         outs = [jnp.where(m, tri[t, c], o) for c, o in zip(cols, outs)]
         return li, outs, le

@@ -34,7 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spath_tpu.config import RenderConfig
 from spath_tpu.ops.pallas.megakernel import pack_rays, tile_for
-from spath_tpu.ops.pallas.megakernel_grad import GRAD_MAX_TRIS
+from spath_tpu.ops.pallas.megakernel_grad import (
+    GRAD_MAX_TRIS,
+    GRAD_UNROLL_TRIS,
+    _SROWS,
+    _acc_tp,
+    _scatter_rows,
+)
 from spath_tpu.ops.pallas.megakernel_quality import (
     _GOLD,
     _INV_PI,
@@ -211,25 +217,44 @@ def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
             # --- scatter into per-triangle accumulators ---
             surf = (v0bar + e1bar + e2bar + tuple(nrawbar)
                     + tuple(albbar) + tuple(ebar))          # cols 0..17
-            for t in range(n_tris):
-                base = t * _QCOLS
-                ms = hit & (idx == t)
-                for c, val in enumerate(surf):
-                    acc[base + c] = acc[base + c] + jnp.where(ms, val, 0.0)
+            if scatter:
+                # surface chain at idx: every surf row is zero on
+                # non-hit lanes (each bar is hit/ok-masked above)
+                acc[0] = _scatter_rows(
+                    acc[0], surf, jnp.where(hit, idx, -1), tp)
                 if light is not None:
                     li, ok, lv0bar, le1bar, le2bar, lnbar, lembar, \
                         areabar = light
-                    ml = ok & (li == t)
-                    lcols = (tuple(lv0bar) + tuple(le1bar) + tuple(le2bar)
-                             + tuple(lnbar))
-                    for c, val in enumerate(lcols):          # cols 0..11
+                    # NEE chain at li: all rows are ok-masked (every
+                    # bar is proportional to the ok-masked sbar/g3)
+                    lrows = (tuple(lv0bar) + tuple(le1bar)
+                             + tuple(le2bar) + tuple(lnbar)   # 0..11
+                             + (zrow, zrow, zrow)             # 12..14
+                             + tuple(lembar)                  # 15..17
+                             + (areabar,))                    # 18
+                    acc[0] = _scatter_rows(
+                        acc[0], lrows, jnp.where(ok, li, -1), tp)
+            else:
+                for t in range(n_tris):
+                    base = t * _QCOLS
+                    ms = hit & (idx == t)
+                    for c, val in enumerate(surf):
                         acc[base + c] = acc[base + c] + jnp.where(
-                            ml, val, 0.0)
-                    for c in range(3):                       # emission
-                        acc[base + 15 + c] = acc[base + 15 + c] + \
-                            jnp.where(ml, lembar[c], 0.0)
-                    acc[base + 18] = acc[base + 18] + jnp.where(
-                        ml, areabar, 0.0)
+                            ms, val, 0.0)
+                    if light is not None:
+                        li, ok, lv0bar, le1bar, le2bar, lnbar, lembar, \
+                            areabar = light
+                        ml = ok & (li == t)
+                        lcols = (tuple(lv0bar) + tuple(le1bar)
+                                 + tuple(le2bar) + tuple(lnbar))
+                        for c, val in enumerate(lcols):      # cols 0..11
+                            acc[base + c] = acc[base + c] + jnp.where(
+                                ml, val, 0.0)
+                        for c in range(3):                   # emission
+                            acc[base + 15 + c] = acc[base + 15 + c] + \
+                                jnp.where(ml, lembar[c], 0.0)
+                        acc[base + 18] = acc[base + 18] + jnp.where(
+                            ml, areabar, 0.0)
 
             # --- position adjoint propagation ---
             onew = [
@@ -246,7 +271,12 @@ def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
             tb = tb_new
         return tuple(acc), tuple(gry)
 
-    acc0 = tuple(zrow for _ in range(nacc))
+    scatter = n_tris > GRAD_UNROLL_TRIS
+    tp = _acc_tp(n_tris)
+    if scatter:
+        acc0 = (jnp.zeros((_SROWS, tp), jnp.float32),)
+    else:
+        acc0 = tuple(zrow for _ in range(nacc))
     gry0 = tuple(zrow for _ in range(6))
     if unroll_samples:
         carry = (acc0, gry0)
@@ -255,10 +285,13 @@ def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
         acc, gry = carry
     else:
         acc, gry = lax.fori_loop(0, cfg.spp, sample_body, (acc0, gry0))
-    accr = _qaccr(n_tris)
     n_lanes = ox0.shape[1]
-    pad = jnp.zeros((accr - nacc, n_lanes), jnp.float32)
-    gtab_rows = jnp.concatenate(list(acc) + [pad], axis=0)
+    if scatter:
+        gtab_rows = acc[0]                 # (_SROWS, tp) triangle-major
+    else:
+        accr = _qaccr(n_tris)
+        pad = jnp.zeros((accr - nacc, n_lanes), jnp.float32)
+        gtab_rows = jnp.concatenate(list(acc) + [pad], axis=0)
     gray_rows = jnp.concatenate(
         list(gry) + [jnp.zeros((2, n_lanes), jnp.float32)], axis=0)
     return gtab_rows, gray_rows
@@ -308,7 +341,11 @@ def quality_bwd_call(rays, keys, tri, gbar, cfg: RenderConfig,
     mesh axis (see ``megakernel_grad.mega_bwd_call``)."""
     np_ = rays.shape[1]
     tile = tile_for(np_)
-    accr = _qaccr(n_tris)
+    scatter = n_tris > GRAD_UNROLL_TRIS
+    if scatter:
+        gshape = (_SROWS, _acc_tp(n_tris))    # triangle-major
+    else:
+        gshape = (_qaccr(n_tris), tile)       # lane-parallel rows
     kernel = functools.partial(_qbwd_kernel, cfg=cfg, n_tris=n_tris)
     gtab_rows, grays = pl.pallas_call(
         kernel,
@@ -323,16 +360,18 @@ def quality_bwd_call(rays, keys, tri, gbar, cfg: RenderConfig,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((accr, tile), lambda i: (0, 0),
+            pl.BlockSpec(gshape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((accr, tile), jnp.float32),
+            jax.ShapeDtypeStruct(gshape, jnp.float32),
             jax.ShapeDtypeStruct((8, np_), jnp.float32),
         ],
     )(rays, keys, tri, gbar)
+    if scatter:
+        return gtab_rows[:_QCOLS, :n_tris].T, grays
     per = jnp.sum(gtab_rows, axis=1)[: n_tris * _QCOLS]
     return per.reshape(n_tris, _QCOLS), grays
 

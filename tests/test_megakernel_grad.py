@@ -30,10 +30,11 @@ from spath_tpu.ops.pallas.megakernel import _megakernel, _scene_table, \
     pack_rays
 from spath_tpu.ops.pallas.megakernel_grad import (
     _GCOLS,
+    GRAD_UNROLL_TRIS,
     _bwd_tile,
     render_radiance_mega,
 )
-from spath_tpu.scene import Scene, default_scene
+from spath_tpu.scene import Scene, default_scene, procedural_scene
 
 CFG = RenderConfig(width=64, height=48, spp=4, max_bounces=5,
                    rng="lcg", sampler="angle", intersect="reference")
@@ -83,6 +84,63 @@ def test_adjoint_matches_autodiff_exactly(scene7, position_chain):
     # cotangents are exact zeros in both.
     assert np.asarray(gr_auto).max() == 0.0
     np.testing.assert_array_equal(np.asarray(gray_rows), 0.0)
+
+
+def test_scatter_adjoint_matches_autodiff():
+    """T > GRAD_UNROLL_TRIS routes the per-triangle accumulation through
+    the MXU one-hot scatter (exact 3-way bf16 split — every scattered
+    term is the exact fp32 product; only the accumulator's summation
+    order differs from the unrolled masked adds), verified against
+    ``jax.grad`` of the eagerly-run forward body exactly like the
+    unrolled path above."""
+    scene = procedural_scene(GRAD_UNROLL_TRIS + 16, seed=2)
+    cfg = CFG.replace(width=16, height=12, spp=2, max_bounces=3)
+    cam = Camera.default()
+    rays, seeds, n = pack_rays(cam, cfg, 0)
+    rays, seeds = rays[:, :256], seeds[:, :256]
+    tri = _scene_table(scene)
+    n_lanes = rays.shape[1]
+    rng = np.random.Generator(np.random.Philox(3))
+    wts = jnp.asarray(rng.uniform(0.1, 1.0, (3, n_lanes)).astype(np.float32))
+
+    def loss(tri, rays):
+        r = _OutRows()
+        _megakernel(rays, seeds, tri, r, cfg=cfg, n_tris=scene.n_tris)
+        out = jnp.concatenate([r.rows[0], r.rows[1], r.rows[2]], axis=0)
+        return jnp.sum(out * wts)
+
+    gt_auto, gr_auto = jax.grad(loss, argnums=(0, 1))(tri, rays)
+    gbar = jnp.concatenate(
+        [wts, jnp.zeros((1, n_lanes), jnp.float32)], axis=0)
+    gtab_rows, gray_rows = _bwd_tile(
+        rays, seeds, tri, gbar, cfg=cfg, n_tris=scene.n_tris)
+    # scatter mode returns the triangle-major (_SROWS, Tp) accumulator
+    mine = np.asarray(gtab_rows)[:_GCOLS, : scene.n_tris].T
+    auto = np.asarray(gt_auto)[:, :_GCOLS]
+    scale = np.abs(auto).max()
+    np.testing.assert_allclose(mine, auto, atol=1e-5 * scale)
+    assert np.asarray(gr_auto).max() == 0.0
+    np.testing.assert_array_equal(np.asarray(gray_rows), 0.0)
+
+
+def test_scatter_grad_tracks_xla_wavefront():
+    """Full custom-VJP path at T > GRAD_UNROLL_TRIS vs the XLA
+    wavefront's autodiff (cross-program statistical tolerance)."""
+    scene = procedural_scene(GRAD_UNROLL_TRIS + 16, seed=2)
+    cfg = CFG.replace(width=32, height=24, spp=2, max_bounces=3)
+    cam = Camera.default()
+    wts = _weights(cfg)
+    want = _grads(render_radiance, scene, cam, cfg, wts)
+    with pltpu.force_tpu_interpret_mode():
+        got = _grads(render_radiance_mega, scene, cam, cfg, wts)
+    for name, g_got, g_want in zip(["vertices", "albedo", "emission"],
+                                   got, want):
+        g_got, g_want = np.asarray(g_got), np.asarray(g_want)
+        scale = np.abs(g_want).max() + 1e-12
+        np.testing.assert_allclose(
+            g_got, g_want, atol=0.03 * scale,
+            err_msg=f"grad mismatch beyond path-flip noise: {name}",
+        )
 
 
 def _weights(cfg):

@@ -26,7 +26,8 @@ from spath_tpu.ops.pallas.megakernel_quality_grad import (
     render_radiance_quality_grad,
     supported_grad,
 )
-from spath_tpu.scene import Scene, default_scene
+from spath_tpu.ops.pallas.megakernel_grad import GRAD_UNROLL_TRIS
+from spath_tpu.scene import Scene, default_scene, procedural_scene
 
 
 def _cfg(**kw):
@@ -105,6 +106,86 @@ def test_quality_adjoint_matches_autodiff(scene7, nee, mis, rr, strat):
         # adjoints must actually be nonzero.
         assert np.abs(auto[:, 0:9]).max() > 0.0
         assert scale > 0.0
+
+
+def test_quality_scatter_adjoint_matches_autodiff():
+    """T > GRAD_UNROLL_TRIS: per-triangle accumulation via the MXU
+    one-hot scatter (surface chain at idx, NEE chain at li) — exact
+    3-way bf16 split, so only the accumulator's summation order differs
+    from the unrolled masked adds."""
+    scene = procedural_scene(GRAD_UNROLL_TRIS + 16, seed=2)
+    cfg = _cfg(nee=True, mis=True, spp=2, max_bounces=3)
+    cam = Camera.default()
+    rays, pix, n = pack_rays(cam, cfg, 0)
+    rays, pix = rays[:, :256], pix[:, :256]
+    keys = jnp.uint32(5) * _GOLD + pix
+    tri = quality_table(scene)
+    n_lanes = rays.shape[1]
+    rng = np.random.Generator(np.random.Philox(9))
+    wts = jnp.asarray(
+        rng.uniform(0.1, 1.0, (3, n_lanes)).astype(np.float32))
+    inv = np.float32(1.0 / cfg.spp)
+
+    def loss(tri, rays):
+        ctx = _make_ctx(rays, keys, tri, cfg, scene.n_tris)
+        acc = jnp.zeros((3, n_lanes), jnp.float32)
+        for s in range(cfg.spp):
+            rr, rg, rb = _sample_walk(jnp.int32(s), ctx)[:3]
+            acc = acc + jnp.concatenate([rr, rg, rb], axis=0)
+        return jnp.sum(acc * inv * wts)
+
+    gt_auto, gr_auto = jax.grad(loss, argnums=(0, 1))(tri, rays)
+    gbar = jnp.concatenate(
+        [wts, jnp.zeros((1, n_lanes), jnp.float32)], axis=0)
+    gtab_rows, gray_rows = _bwd_tile_quality(
+        rays, keys, tri, gbar, cfg=cfg, n_tris=scene.n_tris,
+        unroll_samples=True,
+    )
+    mine = np.asarray(gtab_rows)[:_QCOLS, : scene.n_tris].T
+    auto = np.asarray(gt_auto)
+    for name, col in GROUPS:
+        w = 1 if name == "area" else 3
+        acol = 19 if name == "area" else col
+        a = auto[:, acol:acol + w]
+        m = mine[:, col:col + w]
+        scale = np.abs(auto).max() + 1e-12
+        np.testing.assert_allclose(
+            m, a, atol=1e-5 * scale,
+            err_msg=f"scatter adjoint mismatch in {name}")
+    a = np.asarray(gr_auto)
+    m = np.asarray(gray_rows)
+    scale = np.abs(a).max() + 1e-12
+    np.testing.assert_allclose(
+        m, a, atol=2e-6 * scale,
+        err_msg="scatter camera-ray adjoint mismatch")
+
+
+def test_quality_scatter_grad_tracks_wavefront():
+    """Full custom-VJP entry at T > GRAD_UNROLL_TRIS vs the wavefront
+    autodiff (cross-program statistical tolerance)."""
+    scene = procedural_scene(GRAD_UNROLL_TRIS + 16, seed=2)
+    cfg = _cfg(nee=True, mis=True, width=24, height=16, spp=2,
+               max_bounces=3)
+    cam = Camera.default()
+
+    def make_loss(fn):
+        def loss(v, a, e):
+            return jnp.mean(fn(Scene(v, a, e), cam, cfg, 0))
+        return loss
+
+    want = jax.jit(jax.grad(make_loss(render_radiance), argnums=(0, 1, 2)))(
+        scene.vertices, scene.albedo, scene.emission)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(jax.grad(make_loss(render_radiance_quality_grad),
+                               argnums=(0, 1, 2)))(
+            scene.vertices, scene.albedo, scene.emission)
+    for name, g_got, g_want in zip(["vertices", "albedo", "emission"],
+                                   got, want):
+        g_got, g_want = np.asarray(g_got), np.asarray(g_want)
+        scale = np.abs(g_want).max() + 1e-12
+        np.testing.assert_allclose(
+            g_got, g_want, atol=0.05 * scale,
+            err_msg=f"beyond path-flip noise: {name}")
 
 
 def test_quality_grad_entry_point_runs(scene7):
