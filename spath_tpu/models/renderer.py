@@ -194,6 +194,38 @@ class QualityMegakernelRenderer(Renderer):
             scene, camera, cfg, seed)
 
 
+class QualityBigsceneRenderer(Renderer):
+    """HBM-streamed fused QUALITY kernel: hash + cosine + NEE/MIS at
+    large T (the production estimator beyond the SMEM table)."""
+
+    name = "quality_bigscene"
+    description = "HBM-streamed quality megakernel (NEE/MIS, large scenes)"
+
+    def available(self) -> bool:
+        return _on_accel()
+
+    def supports(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel_bigscene_quality as q
+
+        return self.available() and q.supported(scene, cfg)
+
+    def supports_grad(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel_bigscene_quality as q
+
+        return self.available() and q.supported_grad(scene, cfg)
+
+    def render_radiance(self, scene, camera, cfg, seed=0):
+        from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+            render_radiance_bigscene_quality,
+        )
+
+        return render_radiance_bigscene_quality(
+            scene, camera, cfg, seed,
+            fast=(cfg.intersect == "pallas_fast"))
+
+    render_radiance_grad = render_radiance
+
+
 class BigsceneRenderer(Renderer):
     """HBM-streamed fused kernel for scenes beyond the SMEM table."""
 
@@ -283,6 +315,7 @@ class NativeRenderer(Renderer):
 REGISTRY: tuple[Renderer, ...] = (
     MegakernelRenderer(),
     QualityMegakernelRenderer(),
+    QualityBigsceneRenderer(),
     BigsceneRenderer(),
     CompactWavefrontRenderer(),
     WavefrontRenderer(),

@@ -93,13 +93,19 @@ def _gather_dot(attr_rows, onehot):
 
 
 def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
-           sems, *, n_blocks: int, fast: bool):
+           sems, *, n_blocks: int, fast: bool, gather_from: int = 0):
     """Nearest hit + attribute gather of every lane against ALL streamed
     triangle blocks.
 
-    Row (1, TILE_R) ray state in; returns (best_d row, best_i row,
-    attr rows (ACOLS, TILE_R)). The block loop double-buffers the
-    feature/attribute DMAs against the matmuls.
+    Row (1, R) ray state in; returns (best_d row, best_i row, attr rows
+    (acols, R - gather_from)) with ``acols = abuf.shape[1]`` (16 for the
+    conformance table, 32 for the quality table). The block loop
+    double-buffers the feature/attribute DMAs against the matmuls.
+
+    ``gather_from``: restrict the (expensive) per-block attribute gather
+    to lanes ``[gather_from:]`` — the quality kernel packs shadow rays
+    and next-bounce rays into one sweep (shared origin, triangle blocks
+    DMA'd once) and only the next-bounce half needs attributes.
 
     Layout: the whole sweep lives in "triangles on sublanes × rays on
     lanes" orientation so that NOTHING is ever transposed — Mosaic
@@ -130,9 +136,11 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
     feat_t = pack_lhs(feat, fast, axis=0)    # (128, R) bf16
 
     r = ox.shape[1]
+    acols = abuf.shape[1]
+    rg = r - gather_from
     best_d0 = jnp.full((1, r), _BIG, jnp.float32)
     best_i0 = jnp.full((1, r), -1, jnp.int32)
-    best_a0 = jnp.zeros((_ACOLS, r), jnp.float32)
+    best_a0 = jnp.zeros((acols, rg), jnp.float32)
 
     def dma(slot, j):
         return (
@@ -197,14 +205,14 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
             axis=0, keepdims=True,
         )                                                     # (1, R)
         loc = jnp.where(blk_d < _BIG, loc, -1)
-        onehot = loc_iota == loc                      # (TILE_T, R)
+        onehot = loc_iota[:, :rg] == loc[:, gather_from:]   # (TILE_T, Rg)
         blk_a = _gather_dot(abuf[slot], onehot.astype(jnp.float32))
 
         better = blk_d < best_d      # strict: earlier block wins ties
         return (
             jnp.where(better, blk_d, best_d),
             jnp.where(better, loc + j * TILE_T, best_i),
-            jnp.where(better, blk_a, best_a),
+            jnp.where(better[:, gather_from:], blk_a, best_a),
         )
 
     best_d, best_i, best_a = lax.fori_loop(

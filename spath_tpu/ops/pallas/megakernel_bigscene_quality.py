@@ -1,0 +1,468 @@
+"""HBM-streamed QUALITY path tracer: the production estimator at large T.
+
+Round 2 left the quality estimator (hash counter RNG + cosine-weighted
+sampling + NEE with power-heuristic MIS, the semantics of
+``ops/nee.py``/``ops/sampling.py``) capped at the SMEM triangle table:
+a 10k-triangle scene with NEE fell to the XLA wavefront. This module is
+the large-T design, composing the two proven pieces:
+
+  * the ESTIMATOR BODY is ``megakernel_quality._sample_walk`` — the
+    exact same traced float ops as the SMEM kernel and the XLA
+    wavefront, by construction (the walk is intersection-backend
+    agnostic; see ``_make_ctx``'s hook contract);
+  * the O(T) work is ``megakernel_bigscene._sweep`` — triangle feature
+    blocks double-buffer-DMA'd HBM→VMEM through the K-packed
+    fp32-emulating MXU matmul (brute force, the semantics of
+    ``src/cpu_renderer.cpp:39-49`` / ``src/render.comp:104-121``).
+
+NEE specifics of the streamed design:
+
+  * the shadow ray and the next bounce ray share their origin, so ONE
+    sweep over 2R concatenated lanes produces both — triangle blocks are
+    DMA'd once per bounce, the attribute gather runs only on the
+    next-ray half (``_sweep(gather_from=R)``);
+  * light selection is a categorical cdf draw over a compact SMEM light
+    table holding ONLY the (statically known) emissive rows of the
+    quality table plus their global indices. Selection is bit-equal to
+    the wavefront's full-table ``searchsorted``: the cdf is a step
+    function stepping only at emissive rows, so the k-th compact
+    crossing is the k-th light for the same uniform (zero-probability
+    rows can never be selected by either). The light set must be STATIC
+    (``Scene.light_idx``, or derived from concrete emission at
+    table-build time) while emission/geometry VALUES stay traced and
+    differentiable.
+
+Backward: one Pallas launch replays the walk per sample and runs the
+shared analytic reverse sweep (``megakernel_quality_grad._reverse_bounce``
+— the NEE position chain is LIVE: gradients to hit/light geometry,
+normals, areas, and camera rays). Per-triangle adjoints scatter through
+the MXU per streamed block (exact 3-way bf16 split one-hots,
+``megakernel_grad._split3``) into a ``(32, Tp)`` triangle-major
+accumulator in the ATTRS-table row layout, accumulated directly in the
+revisited output block; both the surface chain (at the hit index) and
+the light chain (at the sampled light's global index) land there, so
+scene cotangents flow through the single differentiable attrs table.
+The geometry-feature table keeps an exactly-zero cotangent — the same
+geometry enters the attrs table differentiably, which is where the
+analytic distance/light VJPs are anchored (same policy as
+``megakernel_bigscene_grad``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spath_tpu.config import RenderConfig
+from spath_tpu.ops.pallas.intersect_pallas import pack_tri_blocks
+from spath_tpu.ops.pallas.megakernel import pack_rays, tile_for
+from spath_tpu.ops.pallas.megakernel_bigscene import (
+    _QK,
+    BIG_MAX_TRIS,
+    TILE_T,
+    _sweep,
+)
+from spath_tpu.ops.pallas.megakernel_grad import _split3
+from spath_tpu.ops.pallas.megakernel_quality import (
+    _GOLD,
+    _sample_walk,
+    _select_gather_light,
+    quality_table,
+)
+
+#: rays per grid step. Smaller than the conformance kernel's 1024: the
+#: fused shadow+next sweep doubles the (4·TILE_T, 2R) matmul result and
+#: the backward adds the (32, Tp) adjoint block — 512 keeps the whole
+#: backward under the ~16 MB VMEM budget at the grad cap.
+TILE_RQ = 512
+#: attribute-table rows: n(0:3) albedo(3:6) emission(6:9) prob(9)
+#: area(10) v0(11:14) e1(14:17) e2(17:20) pad(20:32). Geometry columns
+#: exist so the backward replay can anchor the analytic distance VJP
+#: without a second table; 32 = whole bf16 sublane tiles.
+_AQCOLS = 32
+#: compact SMEM light-table cap (rows of the quality-table layout)
+LIGHT_MAX = 1024
+#: backward cap: the (32, Tp) f32 adjoint block is 4 MB at 32k
+BIGQ_GRAD_MAX_TRIS = 32768
+
+#: light-table gather columns for ``_select_gather_light``: quality-table
+#: layout v0(0:3) e1(3:6) e2(6:9) n(9:12) em(15:18) prob(18) area(19),
+#: plus the global triangle index stashed at pad column 21.
+_COL_GIDX = 21
+_LCOLS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 15, 16, 17, 18, 19,
+          _COL_GIDX)
+
+
+def static_light_idx(scene) -> tuple[int, ...] | None:
+    """The static light set: ``scene.light_idx`` if set, else derived
+    from concrete emission (None when emission is a tracer — pass
+    ``Scene.light_idx`` to use this kernel under transformations)."""
+    if scene.light_idx is not None:
+        return tuple(int(i) for i in scene.light_idx)
+    try:
+        em = np.asarray(scene.emission)
+    except Exception:  # noqa: BLE001 — tracer: caller must provide
+        return None
+    return tuple(np.flatnonzero(em.sum(-1) > 0).tolist())
+
+
+def supported(scene, cfg: RenderConfig) -> bool:
+    lights = static_light_idx(scene)
+    return (
+        scene.n_tris <= BIG_MAX_TRIS
+        and cfg.rng == "hash"
+        and cfg.sampler == "cosine"
+        and (not cfg.nee or (lights is not None
+                             and len(lights) <= LIGHT_MAX))
+    )
+
+
+def supported_grad(scene, cfg: RenderConfig) -> bool:
+    # vis_grad's warped/boundary adjoints live only in the wavefront
+    return (supported(scene, cfg)
+            and scene.n_tris <= BIGQ_GRAD_MAX_TRIS
+            and not cfg.vis_grad)
+
+
+def bigscene_quality_tables(scene):
+    """Streamed tables + compact light table (all differentiable in the
+    scene values; the light SET is static).
+
+    Returns ``(gfeat (4·Tp, 128) bf16, attrs (32, Tp) f32,
+    ltab (L, 24) f32, n_blocks, n_lights)``.
+    """
+    from spath_tpu.ops.nee import light_cdf, triangle_areas
+
+    v0, v1, v2 = scene.v0, scene.v1, scene.v2
+    t = v0.shape[0]
+    pad = (-t) % TILE_T
+    if pad:
+        z = jnp.zeros((pad, 3), jnp.float32)
+        v0p, v1p, v2p = (jnp.concatenate([x, z]) for x in (v0, v1, v2))
+    else:
+        v0p, v1p, v2p = v0, v1, v2
+    gfeat = pack_tri_blocks(v0p, v1p, v2p, TILE_T)   # (4·Tp, 128) bf16
+
+    n = scene.normals()
+    _, prob = light_cdf(scene)
+    area = triangle_areas(scene)
+    acols = jnp.concatenate(
+        [n, scene.albedo, scene.emission, prob[:, None], area[:, None],
+         v0, v1 - v0, v2 - v0,
+         jnp.zeros((t, _AQCOLS - 20), jnp.float32)], axis=1,
+    )
+    if pad:
+        acols = jnp.concatenate(
+            [acols, jnp.zeros((pad, _AQCOLS), jnp.float32)])
+
+    lights = static_light_idx(scene)
+    if lights is None:
+        raise ValueError(
+            "bigscene quality kernel needs a static light set: emission "
+            "is traced and Scene.light_idx is not set")
+    if len(lights) > LIGHT_MAX:
+        raise ValueError(f"too many lights: {len(lights)} > {LIGHT_MAX}")
+    if lights:
+        li = jnp.asarray(lights, jnp.int32)
+        ltab = quality_table(scene)[li]
+        ltab = ltab.at[:, _COL_GIDX].set(li.astype(jnp.float32))
+    else:
+        # degenerate all-dark scene: one dummy row that can never
+        # validate (prob 0) but keeps the cdf crossing well-defined
+        ltab = jnp.zeros((1, 24), jnp.float32)
+        ltab = ltab.at[0, 20].set(1.0)               # cdf
+        ltab = ltab.at[0, _COL_GIDX].set(-1.0)       # global index
+    return gfeat, acols.T, ltab, (t + pad) // TILE_T, ltab.shape[0]
+
+
+def _make_ctx_big(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbuf, abuf,
+                  sems, *, cfg: RenderConfig, n_blocks: int,
+                  n_lights: int, fast: bool):
+    """Streamed-backend hook set for ``_sample_walk`` (same contract as
+    ``megakernel_quality._make_ctx``; ``attr`` is the gathered
+    ``(32, R)`` attribute rows)."""
+    ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx0, dy0, dz0 = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    src0 = jnp.full_like(ox0, -1.0).astype(jnp.int32)
+    r = ox0.shape[1]
+    sweep = functools.partial(
+        _sweep, gfeat_hbm=gfeat_hbm, attrs_hbm=attrs_hbm,
+        gbuf=gbuf, abuf=abuf, sems=sems, n_blocks=n_blocks, fast=fast,
+    )
+
+    def nearest1(o, d, src):
+        return sweep(*o, *d, src)
+
+    def nearest2(o, d_sh, d_nx, src):
+        def cat(a, b):
+            return jnp.concatenate([a, b], axis=1)
+
+        o2 = [cat(c, c) for c in o]
+        d2 = [cat(a, b) for a, b in zip(d_sh, d_nx)]
+        bd, bi, ba = sweep(*o2, *d2, cat(src, src), gather_from=r)
+        return (bd[:, :r], bi[:, :r]), (bd[:, r:], bi[:, r:], ba)
+
+    def hit_shading(idx, attr):
+        return [attr[c:c + 1, :] for c in range(11)]
+
+    def hit_geo(idx, attr):
+        return [attr[c:c + 1, :] for c in range(11, 20)]
+
+    def select_light(u):
+        slot, outs = _select_gather_light(ltab, u, _LCOLS, n_lights)
+        li_global = outs[-1].astype(jnp.int32)
+        return li_global, outs[:-1]
+
+    fh = nearest1((ox0, oy0, oz0), (dx0, dy0, dz0), src0)
+    return dict(
+        o0=(ox0, oy0, oz0), d0=(dx0, dy0, dz0), src0=src0, fh=fh,
+        h0=keys[0:1, :], cfg=cfg,
+        nearest1=nearest1, nearest2=nearest2, hit_shading=hit_shading,
+        hit_geo=hit_geo, select_light=select_light,
+    )
+
+
+def _bigq_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, out, gbuf, abuf,
+                 sems, *, cfg: RenderConfig, n_blocks: int, n_lights: int,
+                 fast: bool):
+    ctx = _make_ctx_big(
+        rays, keys, ltab, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
+        cfg=cfg, n_blocks=n_blocks, n_lights=n_lights, fast=fast,
+    )
+
+    def sample_body(s, carry):
+        acc_r, acc_g, acc_b = carry
+        rad_r, rad_g, rad_b, _ = _sample_walk(s, ctx)
+        return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
+
+    zeros = jnp.zeros_like(ctx["o0"][0])
+    acc_r, acc_g, acc_b = lax.fori_loop(
+        0, cfg.spp, sample_body, (zeros, zeros, zeros))
+    inv = np.float32(1.0) / np.float32(cfg.spp)
+    out[0:1, :] = acc_r * inv
+    out[1:2, :] = acc_g * inv
+    out[2:3, :] = acc_b * inv
+    out[3:4, :] = jnp.zeros_like(acc_r)
+
+
+def bigq_call(rays, keys, ltab, gfeat, attrs, cfg: RenderConfig,
+              n_blocks: int, n_lights: int, fast: bool = False):
+    """Raw forward pallas_call on packed rows → ``(4, Np)`` rows."""
+    np_ = rays.shape[1]
+    tile = tile_for(np_, TILE_RQ)
+    kernel = functools.partial(
+        _bigq_kernel, cfg=cfg, n_blocks=n_blocks, n_lights=n_lights,
+        fast=fast)
+    return pl.pallas_call(
+        kernel,
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # light table
+            pl.BlockSpec(memory_space=pltpu.HBM),    # gfeat streamed
+            pl.BlockSpec(memory_space=pltpu.HBM),    # attrs streamed
+        ],
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, np_), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.bfloat16),
+            pltpu.VMEM((2, _AQCOLS, TILE_T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )(rays, keys, ltab, gfeat, attrs)
+
+
+def _attrs_rows_surf(surf, zrow):
+    """Reorder the reverse sweep's quality-layout surface rows
+    (v0,e1,e2,n,alb,emi — cols 0..17) into the attrs-table row layout."""
+    v0, e1, e2 = surf[0:3], surf[3:6], surf[6:9]
+    n, alb, emi = surf[9:12], surf[12:15], surf[15:18]
+    return (tuple(n) + tuple(alb) + tuple(emi) + (zrow, zrow)
+            + tuple(v0) + tuple(e1) + tuple(e2))     # rows 0..19
+
+
+def _attrs_rows_light(light, zrow):
+    """Light-chain rows (v0,e1,e2,n bars, pad, emi bars, area bar) into
+    the attrs-table row layout (albedo/prob rows stay zero)."""
+    v0, e1, e2 = light[0:3], light[3:6], light[6:9]
+    n, emi, area = light[9:12], light[15:18], light[18]
+    return (tuple(n) + (zrow, zrow, zrow) + tuple(emi) + (zrow, area)
+            + tuple(v0) + tuple(e1) + tuple(e2))     # rows 0..19
+
+
+def _bigq_bwd_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbar, gtab,
+                     grays, gbuf, abuf, sems, *, cfg: RenderConfig,
+                     n_blocks: int, n_lights: int, fast: bool):
+    from spath_tpu.ops.pallas.megakernel_quality_grad import (
+        _reverse_bounce,
+    )
+
+    ctx = _make_ctx_big(
+        rays, keys, ltab, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
+        cfg=cfg, n_blocks=n_blocks, n_lights=n_lights, fast=fast,
+    )
+    zrow = jnp.zeros_like(ctx["o0"][0])
+    r = zrow.shape[1]
+    inv = np.float32(1.0 / cfg.spp)
+    g3 = (gbar[0:1, :] * inv, gbar[1:2, :] * inv, gbar[2:3, :] * inv)
+    nb = cfg.max_bounces
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtab[...] = jnp.zeros_like(gtab)
+
+    def scatter_blocked(rows, sentinel):
+        """MXU one-hot scatter-add of contribution rows (attrs layout)
+        into the (32, Tp) accumulator, one streamed block at a time —
+        exact 3-way bf16 split, fp32 accumulation (megakernel_grad
+        design at bigscene scale)."""
+        cmat = jnp.concatenate(
+            list(rows) + [zrow] * (_AQCOLS - len(rows)), axis=0)
+        hi, mid, lo = _split3(cmat)
+        idx_col = sentinel.T                          # (R, 1)
+
+        def body(j, _):
+            onehot = (
+                (jax.lax.broadcasted_iota(jnp.int32, (r, TILE_T), 1)
+                 + j * TILE_T) == idx_col
+            ).astype(jnp.bfloat16)
+            piece = (
+                jnp.dot(hi, onehot, preferred_element_type=jnp.float32)
+                + jnp.dot(mid, onehot, preferred_element_type=jnp.float32)
+                + jnp.dot(lo, onehot, preferred_element_type=jnp.float32)
+            )
+            gtab[:, pl.ds(j * TILE_T, TILE_T)] += piece
+            return 0
+
+        lax.fori_loop(0, n_blocks, body, 0)
+
+    def sample_body(s, gry):
+        gry = list(gry)
+        _, _, _, saved = _sample_walk(s, ctx)
+        tb = [zrow, zrow, zrow]
+        ob = [zrow, zrow, zrow]
+        for bounce in reversed(range(nb)):
+            sv = saved[bounce]
+            rb = _reverse_bounce(sv, tb, ob, g3, cfg, zrow)
+            scatter_blocked(
+                _attrs_rows_surf(rb["surf"], zrow),
+                jnp.where(sv["hit"], sv["idx"], -1))
+            if rb["light"] is not None:
+                scatter_blocked(
+                    _attrs_rows_light(rb["light"], zrow),
+                    jnp.where(sv["ok"], sv["li"], -1))
+            if bounce == 0:
+                for c in range(3):
+                    gry[c] = gry[c] + rb["onew"][c]
+                    gry[3 + c] = gry[3 + c] + rb["gry_d"][c]
+            else:
+                ob = rb["onew"]
+            tb = rb["tb"]
+        return tuple(gry)
+
+    gry = lax.fori_loop(0, cfg.spp, sample_body, (zrow,) * 6)
+    grays[...] = jnp.concatenate(
+        list(gry) + [jnp.zeros((2, r), jnp.float32)], axis=0)
+
+
+def bigq_bwd_call(rays, keys, ltab, gfeat, attrs, gbar,
+                  cfg: RenderConfig, n_blocks: int, n_lights: int,
+                  fast: bool = False):
+    """Raw backward pallas_call → ``(gattrs (32, Tp), grays (8, Np))``."""
+    np_ = rays.shape[1]
+    tile = tile_for(np_, TILE_RQ)
+    tp = attrs.shape[1]
+    kernel = functools.partial(
+        _bigq_bwd_kernel, cfg=cfg, n_blocks=n_blocks, n_lights=n_lights,
+        fast=fast)
+    return pl.pallas_call(
+        kernel,
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # constant index: the adjoint block stays VMEM-resident and
+            # accumulates across the whole grid (zeroed at step 0)
+            pl.BlockSpec((_AQCOLS, tp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_AQCOLS, tp), jnp.float32),
+            jax.ShapeDtypeStruct((8, np_), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.bfloat16),
+            pltpu.VMEM((2, _AQCOLS, TILE_T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )(rays, keys, ltab, gfeat, attrs, gbar)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def bigq_rows(gfeat, attrs, ltab, rays, keys, cfg: RenderConfig,
+              n_blocks: int, n_lights: int, fast: bool):
+    """Forward streamed quality kernel on packed rows, hand-written VJP."""
+    return bigq_call(rays, keys, ltab, gfeat, attrs, cfg, n_blocks,
+                     n_lights, fast)
+
+
+def _bigq_fwd(gfeat, attrs, ltab, rays, keys, cfg, n_blocks, n_lights,
+              fast):
+    out = bigq_rows(gfeat, attrs, ltab, rays, keys, cfg, n_blocks,
+                    n_lights, fast)
+    return out, (gfeat, attrs, ltab, rays, keys)
+
+
+def _bigq_bwd(cfg, n_blocks, n_lights, fast, res, gbar):
+    gfeat, attrs, ltab, rays, keys = res
+    gattrs, grays = bigq_bwd_call(
+        rays, keys, ltab, gfeat, attrs, gbar, cfg, n_blocks, n_lights,
+        fast)
+    # Geometry features and the light table carry exactly-zero
+    # cotangents: the same quantities enter the differentiable attrs
+    # table, where both the surface and light chains are scattered (see
+    # module docstring) — scene cotangents flow through attrs alone.
+    ggfeat = jnp.zeros_like(gfeat)
+    gltab = jnp.zeros_like(ltab)
+    gkeys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
+    return ggfeat, gattrs, gltab, grays, gkeys
+
+
+bigq_rows.defvjp(_bigq_fwd, _bigq_bwd)
+
+
+def render_radiance_bigscene_quality(scene, camera, cfg: RenderConfig,
+                                     seed=0, fast: bool = False):
+    """Unclamped mean radiance ``(H, W, 3)`` via the streamed quality
+    kernel; differentiable (fused VJP) up to ``BIGQ_GRAD_MAX_TRIS``."""
+    if not supported(scene, cfg):
+        raise ValueError(
+            "bigscene quality kernel needs rng='hash', sampler='cosine', "
+            "T <= BIG_MAX_TRIS, static light set <= LIGHT_MAX")
+    rays, pix, n = pack_rays(camera, cfg, 0, lane_multiple=TILE_RQ)
+    keys = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix
+    gfeat, attrs, ltab, n_blocks, n_lights = bigscene_quality_tables(scene)
+    out = bigq_rows(gfeat, attrs, ltab, rays, keys, cfg, n_blocks,
+                    n_lights, fast)
+    return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

@@ -207,14 +207,65 @@ def _nearest2(o, d1, d2, src, tri, n_tris):
 
 
 def _make_ctx(rays, keys, tri, cfg: RenderConfig, n_tris: int):
-    """Per-tile trace context shared by the forward and backward kernels."""
+    """Per-tile trace context shared by the forward and backward kernels.
+
+    The estimator body (``_sample_walk``) is intersection-backend
+    agnostic: every O(T) operation goes through the hook functions built
+    here. This SMEM backend walks the scalar triangle table
+    (``_nearest``/``_nearest2``/``_gather_cols``); the HBM-streamed
+    backend (``megakernel_bigscene_quality``) builds the same hooks from
+    MXU sweeps, so both kernels run the IDENTICAL shading/sampling/NEE
+    float ops by construction.
+
+    Hook contract (all rays/values are ``(1, N)`` rows):
+
+      * ``nearest1(o3, d3, src) -> (dist, idx, attr)`` — nearest hit;
+        ``attr`` is backend-private payload (None here).
+      * ``nearest2(o3, d_sh, d_nx, src) -> ((_, occ), (dist, idx, attr))``
+        — fused shadow-occlusion + next-bounce sweep (shared origin).
+      * ``hit_shading(idx, attr) -> 11 rows`` n(3) alb(3) emi(3) prob area.
+      * ``hit_geo(idx, attr) -> 9 rows`` v0(3) e1(3) e2(3).
+      * ``select_light(u) -> (li, 17 rows)`` — categorical cdf draw;
+        ``li`` is the GLOBAL triangle index; rows are v0(3) e1(3) e2(3)
+        n(3) em(3) prob area.
+    """
     ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx0, dy0, dz0 = rays[3:4, :], rays[4:5, :], rays[5:6, :]
     src0 = jnp.full_like(ox0, -1.0).astype(jnp.int32)
-    fh = _nearest(ox0, oy0, oz0, dx0, dy0, dz0, src0, tri, n_tris)
+
+    def nearest1(o, d, src):
+        dist, idx = _nearest(*o, *d, src, tri, n_tris)
+        return dist, idx, None
+
+    def nearest2(o, d_sh, d_nx, src):
+        (occ_d, occ_i), (dist, idx) = _nearest2(o, d_sh, d_nx, src, tri,
+                                                n_tris)
+        return (occ_d, occ_i), (dist, idx, None)
+
+    def hit_shading(idx, attr):
+        return _gather_cols(
+            tri, idx,
+            (9, 10, 11, 12, 13, 14, 15, 16, 17, _COL_PROB, _COL_AREA),
+            n_tris,
+        )
+
+    def hit_geo(idx, attr):
+        return _gather_cols(tri, idx, tuple(range(9)), n_tris)
+
+    def select_light(u):
+        return _select_gather_light(
+            tri, u,
+            (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+             15, 16, 17, _COL_PROB, _COL_AREA),
+            n_tris,
+        )
+
+    fh = nearest1((ox0, oy0, oz0), (dx0, dy0, dz0), src0)
     return dict(
         o0=(ox0, oy0, oz0), d0=(dx0, dy0, dz0), src0=src0, fh=fh,
-        h0=keys[0:1, :], tri=tri, cfg=cfg, n_tris=n_tris,
+        h0=keys[0:1, :], cfg=cfg,
+        nearest1=nearest1, nearest2=nearest2, hit_shading=hit_shading,
+        hit_geo=hit_geo, select_light=select_light,
     )
 
 
@@ -227,9 +278,9 @@ def _sample_walk(s, ctx):
     backward kernel replays this exact function, so forward and replay
     are the same traced computation by construction.
     """
-    cfg, tri, n_tris = ctx["cfg"], ctx["tri"], ctx["n_tris"]
+    cfg = ctx["cfg"]
     (ox0, oy0, oz0), (dx0, dy0, dz0) = ctx["o0"], ctx["d0"]
-    src0, (fh_d, fh_i), h0 = ctx["src0"], ctx["fh"], ctx["h0"]
+    src0, (fh_d, fh_i, fh_a), h0 = ctx["src0"], ctx["fh"], ctx["h0"]
     use_mis = cfg.nee and cfg.mis
     n_draws = (5 if cfg.nee else 2) + (1 if cfg.rr_start else 0)
     saved = []
@@ -247,23 +298,19 @@ def _sample_walk(s, ctx):
         rad_b = jnp.zeros_like(ox)
         prev_pdf = jnp.zeros_like(ox)
         # NEE mode pipelines the walk: bounce b's fused sweep
-        # (``_nearest2``) produces BOTH b's shadow occlusion and b+1's
+        # (``nearest2``) produces BOTH b's shadow occlusion and b+1's
         # nearest hit from their shared origin, so (dist, idx) is carried
         # across iterations instead of recomputed at the top.
-        dist, idx = fh_d, fh_i
+        dist, idx, attr = fh_d, fh_i, fh_a
 
         for bounce in range(cfg.max_bounces):
             last = bounce == cfg.max_bounces - 1
             if bounce > 0 and not cfg.nee:
-                dist, idx = _nearest(ox, oy, oz, dx, dy, dz, src, tri,
-                                     n_tris)
+                dist, idx, attr = ctx["nearest1"](
+                    (ox, oy, oz), (dx, dy, dz), src)
             hit = alive & (idx >= 0)
             (nx, ny, nz, ar, ag, ab_, er, eg, eb_,
-             hprob, harea) = _gather_cols(
-                tri, idx,
-                (9, 10, 11, 12, 13, 14, 15, 16, 17, _COL_PROB, _COL_AREA),
-                n_tris,
-            )
+             hprob, harea) = ctx["hit_shading"](idx, attr)
             # hit point
             px = ox + dist * dx
             py = oy + dist * dy
@@ -347,12 +394,7 @@ def _sample_walk(s, ctx):
                 li, (lv0x, lv0y, lv0z, le1x, le1y, le1z,
                      le2x, le2y, le2z, lnx, lny, lnz,
                      lemr, lemg, lemb, lprob, larea) = \
-                    _select_gather_light(
-                        tri, us[2],
-                        (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
-                         15, 16, 17, _COL_PROB, _COL_AREA),
-                        n_tris,
-                    )
+                    ctx["select_light"](us[2])
                 su1 = jnp.sqrt(us[3])
                 b1 = 1.0 - su1
                 b2 = us[4] * su1
@@ -370,13 +412,13 @@ def _sample_walk(s, ctx):
                 # hit lanes the shared origin/src equal the wavefront's
                 # (px == onx, idx == srcn); dead lanes are masked below.
                 if last:
-                    _, occ = _nearest(onx, ony, onz, omx, omy, omz,
-                                      srcn, tri, n_tris)
-                    nxt = (dist, idx)
+                    _, occ, _ = ctx["nearest1"](
+                        (onx, ony, onz), (omx, omy, omz), srcn)
+                    nxt = (dist, idx, attr)
                 else:
-                    (_, occ), nxt = _nearest2(
+                    (_, occ), nxt = ctx["nearest2"](
                         (onx, ony, onz), (omx, omy, omz),
-                        (dnx, dny, dnz), srcn, tri, n_tris)
+                        (dnx, dny, dnz), srcn)
                 valid = (
                     (occ == li) & (lprob > 0.0) & (cos_s > 0.0)
                     & (li != safe_src)
@@ -412,7 +454,7 @@ def _sample_walk(s, ctx):
                 hit=hit, tr=(tr_r, tr_g, tr_b), alb=(ar, ag, ab_),
                 emi=(er, eg, eb_), an=(anx, any_, anz),
                 fs=jnp.where(flip, -1.0, 1.0).astype(jnp.float32),
-                geo=_gather_cols(tri, idx, tuple(range(9)), n_tris),
+                geo=ctx["hit_geo"](idx, attr),
             )
             if cfg.nee:
                 sv.update(
@@ -450,7 +492,7 @@ def _sample_walk(s, ctx):
                 cos_next = ndx * anx + ndy * any_ + ndz * anz
                 prev_pdf = _detach(jnp.maximum(cos_next, 0.0) * _INV_PI)
             if cfg.nee and not last:
-                dist, idx = nxt
+                dist, idx, attr = nxt
 
     return rad_r, rad_g, rad_b, saved
 

@@ -76,6 +76,146 @@ def _dot(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
+def _reverse_bounce(sv, tb, ob, g3, cfg: RenderConfig, zrow):
+    """One bounce of the quality reverse sweep — pure row math on the
+    forward replay's saved state, no O(T) operations. Shared by the
+    SMEM-table backward kernel (here) and the HBM-streamed one
+    (``megakernel_bigscene_quality``), which differ only in how the
+    returned per-lane contribution rows are scattered to triangles.
+
+    Inputs: ``tb``/``ob`` are thr-bar_{b+1} / o-bar_{b+1} (3 rows each).
+    Returns a dict:
+      * ``tb``   — thr-bar_b (3 rows)
+      * ``onew`` — o-bar_b (3 rows; camera-origin adjoint at bounce 0)
+      * ``gry_d``— camera-direction adjoint rows (only used at bounce 0)
+      * ``surf`` — 18 contribution rows at the HIT index
+        (v0,e1,e2,n,albedo,emission bars; zero on non-hit lanes)
+      * ``light``— 19 contribution rows at the LIGHT index or None
+        (v0,e1,e2,n bars, 3 pad rows, emission bars, area bar; zero on
+        non-ok lanes)
+    """
+    hit = sv["hit"]
+    dist = sv["dist"]
+    o, d = sv["o"], sv["d"]
+    tr, alb, emi = sv["tr"], sv["alb"], sv["emi"]
+    an, fs = sv["an"], sv["fs"]
+
+    # Russian roulette: the continuation throughput carries a detached
+    # 1/q reweight on surviving lanes, so the incoming throughput
+    # adjoint picks up the same factor before the albedo chain
+    # (megakernel_quality._sample_walk rr block).
+    if "rrs" in sv:
+        tb = [jnp.where(sv["rrs"], tb[c] / sv["rrq"], tb[c])
+              for c in range(3)]
+
+    # --- emitter-hit term ---
+    ew = sv["w_b"] if cfg.nee else jnp.ones_like(zrow)
+    ebar = [jnp.where(hit, g3[c] * tr[c] * ew, 0.0) for c in range(3)]
+    tb_new = [
+        jnp.where(hit, tb[c] * alb[c], tb[c])
+        + jnp.where(hit, g3[c] * emi[c] * ew, 0.0)
+        for c in range(3)
+    ]
+    # continuation albedo adjoint (uses INCOMING tb)
+    albbar = [jnp.where(hit, tb[c] * tr[c], 0.0) for c in range(3)]
+    nrawbar = [zrow, zrow, zrow]
+    pbar = [jnp.where(hit, ob[c], 0.0) for c in range(3)]
+
+    light = None
+    if cfg.nee:
+        ok = sv["ok"]
+        lv0, le1, le2 = sv["lv0"], sv["le1"], sv["le2"]
+        ln, lem = sv["ln"], sv["lem"]
+        lprob, larea = sv["lprob"], sv["larea"]
+        b1, b2, misw = sv["b1"], sv["b2"], sv["misw"]
+        # recompute NEE geometry (cheap, no O(T) sweeps)
+        p = [o[c] + dist * d[c] for c in range(3)]
+        y = [lv0[c] + b1 * le1[c] + b2 * le2[c] for c in range(3)]
+        dl = [y[c] - p[c] for c in range(3)]
+        r2 = _dot(dl, dl)
+        rl = jnp.sqrt(jnp.maximum(r2, np.float32(1e-20)))
+        om = [dl[c] / rl for c in range(3)]
+        cos_s = _dot(an, om)
+        q = _dot(ln, om)
+        cos_l = jnp.abs(q)
+        r2m = jnp.maximum(r2, np.float32(1e-12))
+        g = cos_s * cos_l / r2m
+        wden = jnp.maximum(lprob, np.float32(1e-20))
+        wgt = larea / wden
+        scale = g * wgt * _INV_PI * misw
+
+        # rad_c += ok * tr_c*alb_c*lem_c*scale
+        sbar = zrow
+        lembar = []
+        for c in range(3):
+            gc = jnp.where(ok, g3[c], 0.0)
+            tb_new[c] = tb_new[c] + jnp.where(
+                ok, g3[c] * alb[c] * lem[c] * scale, 0.0)
+            albbar[c] = albbar[c] + jnp.where(
+                ok, g3[c] * tr[c] * lem[c] * scale, 0.0)
+            lembar.append(jnp.where(
+                ok, g3[c] * tr[c] * alb[c] * scale, 0.0))
+            sbar = sbar + gc * tr[c] * alb[c] * lem[c]
+        gbar_g = sbar * wgt * _INV_PI * misw
+        wgtbar = sbar * g * _INV_PI * misw
+        areabar = wgtbar / wden
+        cosbar_s = gbar_g * cos_l / r2m
+        cosbar_l = gbar_g * cos_s / r2m
+        r2bar = jnp.where(
+            r2 >= np.float32(1e-12),
+            -gbar_g * cos_s * cos_l / (r2m * r2m), 0.0)
+        qbar = jnp.sign(q) * cosbar_l
+        lnbar = [qbar * om[c] for c in range(3)]
+        for c in range(3):
+            nrawbar[c] = nrawbar[c] + fs * (cosbar_s * om[c])
+        ombar = [cosbar_s * an[c] + qbar * ln[c] for c in range(3)]
+        dlbar = [ombar[c] / rl for c in range(3)]
+        rlbar = -_dot(ombar, dl) / (rl * rl)
+        r2bar = r2bar + jnp.where(
+            r2 >= np.float32(1e-20), rlbar / (rl + rl), 0.0)
+        two = jnp.float32(2.0)
+        dlbar = [dlbar[c] + two * r2bar * dl[c] for c in range(3)]
+        lv0bar = dlbar
+        le1bar = [b1 * dlbar[c] for c in range(3)]
+        le2bar = [b2 * dlbar[c] for c in range(3)]
+        for c in range(3):
+            pbar[c] = pbar[c] - dlbar[c]
+        light = (tuple(lv0bar) + tuple(le1bar)
+                 + tuple(le2bar) + tuple(lnbar)   # cols 0..11
+                 + (zrow, zrow, zrow)             # 12..14 (no albedo)
+                 + tuple(lembar)                  # 15..17
+                 + (areabar,))                    # 18
+
+    # --- Moller-Trumbore distance chain (live when pbar != 0) ---
+    distbar = _dot(pbar, d)
+    v0 = tuple(sv["geo"][0:3])
+    e1 = tuple(sv["geo"][3:6])
+    e2 = tuple(sv["geo"][6:9])
+    s_ = tuple(o[c] - v0[c] for c in range(3))
+    h = _cross(d, e2)
+    a = _dot(e1, h)
+    fa = jnp.float32(1.0) / jnp.where(hit, a, jnp.float32(1.0))
+    g1 = jnp.where(hit, distbar * fa, 0.0)
+    tn = _cross(e1, e2)
+    c1 = _cross(e2, s_)
+    c2 = _cross(s_, e1)
+    c3 = _cross(e1, d)
+    v0bar = tuple(-g1 * tn[c] for c in range(3))
+    e1bar = tuple(g1 * (c1[c] - dist * h[c]) for c in range(3))
+    e2bar = tuple(g1 * (c2[c] - dist * c3[c]) for c in range(3))
+    surf = (v0bar + e1bar + e2bar + tuple(nrawbar)
+            + tuple(albbar) + tuple(ebar))          # cols 0..17
+
+    onew = [
+        jnp.where(hit, 0.0, ob[c]) + pbar[c] + g1 * tn[c]
+        for c in range(3)
+    ]
+    gry_d = [jnp.where(hit, dist * pbar[c] + g1 * dist * tn[c], 0.0)
+             for c in range(3)]
+    return dict(tb=tb_new, onew=onew, gry_d=gry_d, surf=surf,
+                light=light)
+
+
 def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
                       n_tris: int, unroll_samples: bool = False):
     """Pure per-tile adjoint of the quality estimator.
@@ -106,134 +246,22 @@ def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
         ob = [zrow, zrow, zrow]          # o-bar_{b+1}
         for bounce in reversed(range(nb)):
             sv = saved[bounce]
-            hit = sv["hit"]
-            dist, idx = sv["dist"], sv["idx"]
-            o, d = sv["o"], sv["d"]
-            tr, alb, emi = sv["tr"], sv["alb"], sv["emi"]
-            an, fs = sv["an"], sv["fs"]
-
-            # Russian roulette: the continuation throughput carries a
-            # detached 1/q reweight on surviving lanes, so the incoming
-            # throughput adjoint picks up the same factor before the
-            # albedo chain (megakernel_quality._sample_walk rr block).
-            if "rrs" in sv:
-                tb = [jnp.where(sv["rrs"], tb[c] / sv["rrq"], tb[c])
-                      for c in range(3)]
-
-            # --- emitter-hit term ---
-            ew = sv["w_b"] if cfg.nee else jnp.ones_like(ox0)
-            ebar = [jnp.where(hit, g3[c] * tr[c] * ew, 0.0)
-                    for c in range(3)]
-            tb_new = [
-                jnp.where(hit, tb[c] * alb[c], tb[c])
-                + jnp.where(hit, g3[c] * emi[c] * ew, 0.0)
-                for c in range(3)
-            ]
-            # continuation albedo adjoint (uses INCOMING tb)
-            albbar = [jnp.where(hit, tb[c] * tr[c], 0.0) for c in range(3)]
-            nrawbar = [zrow, zrow, zrow]
-            pbar = [jnp.where(hit, ob[c], 0.0) for c in range(3)]
-
-            light = None
-            if cfg.nee:
-                ok = sv["ok"]
-                lv0, le1, le2 = sv["lv0"], sv["le1"], sv["le2"]
-                ln, lem = sv["ln"], sv["lem"]
-                lprob, larea = sv["lprob"], sv["larea"]
-                b1, b2, misw = sv["b1"], sv["b2"], sv["misw"]
-                # recompute NEE geometry (cheap, no O(T) sweeps)
-                p = [o[c] + dist * d[c] for c in range(3)]
-                y = [lv0[c] + b1 * le1[c] + b2 * le2[c] for c in range(3)]
-                dl = [y[c] - p[c] for c in range(3)]
-                r2 = _dot(dl, dl)
-                rl = jnp.sqrt(jnp.maximum(r2, np.float32(1e-20)))
-                om = [dl[c] / rl for c in range(3)]
-                cos_s = _dot(an, om)
-                q = _dot(ln, om)
-                cos_l = jnp.abs(q)
-                r2m = jnp.maximum(r2, np.float32(1e-12))
-                g = cos_s * cos_l / r2m
-                wden = jnp.maximum(lprob, np.float32(1e-20))
-                wgt = larea / wden
-                scale = g * wgt * _INV_PI * misw
-
-                # rad_c += ok * tr_c*alb_c*lem_c*scale
-                sbar = zrow
-                lembar = []
-                for c in range(3):
-                    gc = jnp.where(ok, g3[c], 0.0)
-                    tb_new[c] = tb_new[c] + jnp.where(
-                        ok, g3[c] * alb[c] * lem[c] * scale, 0.0)
-                    albbar[c] = albbar[c] + jnp.where(
-                        ok, g3[c] * tr[c] * lem[c] * scale, 0.0)
-                    lembar.append(jnp.where(
-                        ok, g3[c] * tr[c] * alb[c] * scale, 0.0))
-                    sbar = sbar + gc * tr[c] * alb[c] * lem[c]
-                gbar_g = sbar * wgt * _INV_PI * misw
-                wgtbar = sbar * g * _INV_PI * misw
-                areabar = wgtbar / wden
-                cosbar_s = gbar_g * cos_l / r2m
-                cosbar_l = gbar_g * cos_s / r2m
-                r2bar = jnp.where(
-                    r2 >= np.float32(1e-12),
-                    -gbar_g * cos_s * cos_l / (r2m * r2m), 0.0)
-                qbar = jnp.sign(q) * cosbar_l
-                lnbar = [qbar * om[c] for c in range(3)]
-                for c in range(3):
-                    nrawbar[c] = nrawbar[c] + fs * (cosbar_s * om[c])
-                ombar = [cosbar_s * an[c] + qbar * ln[c] for c in range(3)]
-                dlbar = [ombar[c] / rl for c in range(3)]
-                rlbar = -_dot(ombar, dl) / (rl * rl)
-                r2bar = r2bar + jnp.where(
-                    r2 >= np.float32(1e-20), rlbar / (rl + rl), 0.0)
-                two = jnp.float32(2.0)
-                dlbar = [dlbar[c] + two * r2bar * dl[c] for c in range(3)]
-                lv0bar = dlbar
-                le1bar = [b1 * dlbar[c] for c in range(3)]
-                le2bar = [b2 * dlbar[c] for c in range(3)]
-                for c in range(3):
-                    pbar[c] = pbar[c] - dlbar[c]
-                light = (sv["li"], ok, lv0bar, le1bar, le2bar, lnbar,
-                         lembar, areabar)
-
-            # --- Moller-Trumbore distance chain (live when pbar != 0) ---
-            distbar = _dot(pbar, d)
-            v0 = tuple(sv["geo"][0:3])
-            e1 = tuple(sv["geo"][3:6])
-            e2 = tuple(sv["geo"][6:9])
-            s_ = tuple(o[c] - v0[c] for c in range(3))
-            h = _cross(d, e2)
-            a = _dot(e1, h)
-            fa = jnp.float32(1.0) / jnp.where(hit, a, jnp.float32(1.0))
-            g1 = jnp.where(hit, distbar * fa, 0.0)
-            tn = _cross(e1, e2)
-            c1 = _cross(e2, s_)
-            c2 = _cross(s_, e1)
-            c3 = _cross(e1, d)
-            v0bar = tuple(-g1 * tn[c] for c in range(3))
-            e1bar = tuple(g1 * (c1[c] - dist * h[c]) for c in range(3))
-            e2bar = tuple(g1 * (c2[c] - dist * c3[c]) for c in range(3))
+            rb = _reverse_bounce(sv, tb, ob, g3, cfg, zrow)
+            hit, idx = sv["hit"], sv["idx"]
+            surf, light = rb["surf"], rb["light"]
 
             # --- scatter into per-triangle accumulators ---
-            surf = (v0bar + e1bar + e2bar + tuple(nrawbar)
-                    + tuple(albbar) + tuple(ebar))          # cols 0..17
             if scatter:
                 # surface chain at idx: every surf row is zero on
                 # non-hit lanes (each bar is hit/ok-masked above)
                 acc[0] = _scatter_rows(
                     acc[0], surf, jnp.where(hit, idx, -1), tp)
                 if light is not None:
-                    li, ok, lv0bar, le1bar, le2bar, lnbar, lembar, \
-                        areabar = light
                     # NEE chain at li: all rows are ok-masked (every
                     # bar is proportional to the ok-masked sbar/g3)
-                    lrows = (tuple(lv0bar) + tuple(le1bar)
-                             + tuple(le2bar) + tuple(lnbar)   # 0..11
-                             + (zrow, zrow, zrow)             # 12..14
-                             + tuple(lembar)                  # 15..17
-                             + (areabar,))                    # 18
                     acc[0] = _scatter_rows(
-                        acc[0], lrows, jnp.where(ok, li, -1), tp)
+                        acc[0], light,
+                        jnp.where(sv["ok"], sv["li"], -1), tp)
             else:
                 for t in range(n_tris):
                     base = t * _QCOLS
@@ -242,33 +270,21 @@ def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
                         acc[base + c] = acc[base + c] + jnp.where(
                             ms, val, 0.0)
                     if light is not None:
-                        li, ok, lv0bar, le1bar, le2bar, lnbar, lembar, \
-                            areabar = light
-                        ml = ok & (li == t)
-                        lcols = (tuple(lv0bar) + tuple(le1bar)
-                                 + tuple(le2bar) + tuple(lnbar))
-                        for c, val in enumerate(lcols):      # cols 0..11
-                            acc[base + c] = acc[base + c] + jnp.where(
-                                ml, val, 0.0)
-                        for c in range(3):                   # emission
-                            acc[base + 15 + c] = acc[base + 15 + c] + \
-                                jnp.where(ml, lembar[c], 0.0)
-                        acc[base + 18] = acc[base + 18] + jnp.where(
-                            ml, areabar, 0.0)
+                        ml = sv["ok"] & (sv["li"] == t)
+                        for c, val in enumerate(light):
+                            if c in (12, 13, 14):   # pad cols (no alb)
+                                continue
+                            acc[base + c] = acc[base + c] + \
+                                jnp.where(ml, val, 0.0)
 
             # --- position adjoint propagation ---
-            onew = [
-                jnp.where(hit, 0.0, ob[c]) + pbar[c] + g1 * tn[c]
-                for c in range(3)
-            ]
             if bounce == 0:
                 for c in range(3):
-                    gry[c] = gry[c] + onew[c]
-                    gry[3 + c] = gry[3 + c] + jnp.where(
-                        hit, dist * pbar[c] + g1 * dist * tn[c], 0.0)
+                    gry[c] = gry[c] + rb["onew"][c]
+                    gry[3 + c] = gry[3 + c] + rb["gry_d"][c]
             else:
-                ob = onew
-            tb = tb_new
+                ob = rb["onew"]
+            tb = rb["tb"]
         return tuple(acc), tuple(gry)
 
     scatter = n_tris > GRAD_UNROLL_TRIS

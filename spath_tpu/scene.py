@@ -34,11 +34,20 @@ class Scene:
                 (ref ``material::reflectance_color``, ``src/scene.h:48``).
       emission: ``(T, 3)`` float32 — emittance color
                 (ref ``material::emittance_color``, ``src/scene.h:49``).
+      light_idx: optional STATIC tuple of the indices of (potentially)
+                emissive triangles. Rides the pytree as metadata, so it
+                survives tracing — the HBM-streamed quality kernel needs
+                a static light set for its compact SMEM light table
+                (``megakernel_bigscene_quality``) while emission VALUES
+                stay traced/differentiable. ``None`` means "derive from
+                concrete emission at table-build time".
     """
 
     vertices: jax.Array
     albedo: jax.Array
     emission: jax.Array
+    light_idx: tuple[int, ...] | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def n_tris(self) -> int:
@@ -74,11 +83,24 @@ class Scene:
 
 
 def make_scene(vertices, albedo, emission) -> Scene:
-    """Build a Scene from array-likes, casting to float32."""
+    """Build a Scene from array-likes, casting to float32.
+
+    When ``emission`` is concrete (the normal case: scene construction
+    happens outside jit), the static light set is captured in
+    ``Scene.light_idx`` so it survives tracing — required by the
+    HBM-streamed quality kernel's compact light table. Tracer inputs
+    leave it ``None``.
+    """
+    try:
+        light_idx = tuple(
+            np.flatnonzero(np.asarray(emission).sum(-1) > 0).tolist())
+    except Exception:  # noqa: BLE001 — tracer input
+        light_idx = None
     return Scene(
         vertices=jnp.asarray(vertices, jnp.float32),
         albedo=jnp.asarray(albedo, jnp.float32),
         emission=jnp.asarray(emission, jnp.float32),
+        light_idx=light_idx,
     )
 
 
