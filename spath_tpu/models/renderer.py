@@ -41,6 +41,15 @@ def _on_accel() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
+#: Routing crossover between the SMEM-table megakernels (O(T) scalar
+#: walk, ~1.3-2.2e10 pairs/s on the VPU) and the HBM-streamed MXU
+#: kernels (~4-9.5e10 pairs/s, but padded to 256-triangle blocks):
+#: measured on a v5e chip, the streamed kernels win from roughly this
+#: triangle count up. The SMEM kernels remain CAPABLE up to their own
+#: MAX_TRIS for direct calls; this is purely the registry's policy.
+SMEM_ROUTE_MAX_TRIS = 128
+
+
 class Renderer:
     """Abstract renderer (``src/renderer.h`` analog).
 
@@ -139,7 +148,8 @@ class MegakernelRenderer(Renderer):
     def supports(self, scene, cfg) -> bool:
         from spath_tpu.ops.pallas import megakernel
 
-        return self.available() and megakernel.supported(scene, cfg)
+        return (self.available() and megakernel.supported(scene, cfg)
+                and scene.n_tris <= SMEM_ROUTE_MAX_TRIS)
 
     def supports_grad(self, scene, cfg) -> bool:
         from spath_tpu.ops.pallas import megakernel_grad
@@ -170,16 +180,26 @@ class QualityMegakernelRenderer(Renderer):
         return _on_accel()
 
     def supports(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel_bigscene_quality as bq
         from spath_tpu.ops.pallas import megakernel_quality
 
-        return self.available() and megakernel_quality.supported(
-            scene, cfg)
+        if not (self.available()
+                and megakernel_quality.supported(scene, cfg)):
+            return False
+        # above the crossover prefer the streamed kernel — unless it
+        # can't run (e.g. no static light set under tracing)
+        return (scene.n_tris <= SMEM_ROUTE_MAX_TRIS
+                or not bq.supported(scene, cfg))
 
     def supports_grad(self, scene, cfg) -> bool:
+        from spath_tpu.ops.pallas import megakernel_bigscene_quality as bq
         from spath_tpu.ops.pallas import megakernel_quality_grad
 
-        return (self.available()
-                and megakernel_quality_grad.supported_grad(scene, cfg))
+        if not (self.available()
+                and megakernel_quality_grad.supported_grad(scene, cfg)):
+            return False
+        return (scene.n_tris <= SMEM_ROUTE_MAX_TRIS
+                or not bq.supported_grad(scene, cfg))
 
     def render_radiance(self, scene, camera, cfg, seed=0):
         from spath_tpu.ops.pallas import megakernel_quality

@@ -64,9 +64,12 @@ _ACOLS = 16
 
 #: forward cap — HBM-bound only; kept finite for padding sanity.
 BIG_MAX_TRIS = 1 << 20
-#: backward cap — the (T, 16) adjoint accumulator stays VMEM-resident
-#: (16k × 64 B = 1 MB).
-BIG_GRAD_MAX_TRIS = 16384
+#: backward cap — the (16, Tp) f32 adjoint accumulator lives in the
+#: revisited output block (no duplicate scratch since round 3), so the
+#: VMEM bill is Tp x 64 B: 8 MB at 128k, which together with the
+#: (4·TILE_T, TILE_R) sweep intermediates fills the ~16 MB budget.
+#: BASELINE config 4's 100k-triangle point fits under this cap.
+BIG_GRAD_MAX_TRIS = 131072
 
 
 def _hilo(x):
@@ -93,19 +96,21 @@ def _gather_dot(attr_rows, onehot):
 
 
 def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
-           sems, *, n_blocks: int, fast: bool, gather_from: int = 0):
+           sems, *, n_blocks: int, fast: bool, with_attrs: bool = True):
     """Nearest hit + attribute gather of every lane against ALL streamed
     triangle blocks.
 
     Row (1, R) ray state in; returns (best_d row, best_i row, attr rows
-    (acols, R - gather_from)) with ``acols = abuf.shape[1]`` (16 for the
-    conformance table, 32 for the quality table). The block loop
-    double-buffers the feature/attribute DMAs against the matmuls.
+    (acols, R)) with ``acols = abuf.shape[1]`` (16 for the conformance
+    table, 32 for the quality table). The block loop double-buffers the
+    feature/attribute DMAs against the matmuls.
 
-    ``gather_from``: restrict the (expensive) per-block attribute gather
-    to lanes ``[gather_from:]`` — the quality kernel packs shadow rays
-    and next-bounce rays into one sweep (shared origin, triangle blocks
-    DMA'd once) and only the next-bounce half needs attributes.
+    ``with_attrs=False`` skips the per-block attribute gather (returns
+    ``None`` attrs) — shadow-occlusion sweeps need only the nearest
+    index. (An earlier design fused the shadow and next-bounce rays into
+    one 2R-lane sweep to share the block DMAs, but the mid-loop lane
+    slices it needs crash Mosaic's scf.for layout pass — and the sweep
+    is MXU-bound, not DMA-bound, so two sweeps cost the same.)
 
     Layout: the whole sweep lives in "triangles on sublanes × rays on
     lanes" orientation so that NOTHING is ever transposed — Mosaic
@@ -137,24 +142,27 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
 
     r = ox.shape[1]
     acols = abuf.shape[1]
-    rg = r - gather_from
     best_d0 = jnp.full((1, r), _BIG, jnp.float32)
     best_i0 = jnp.full((1, r), -1, jnp.int32)
-    best_a0 = jnp.zeros((acols, rg), jnp.float32)
+    best_a0 = jnp.zeros((acols, r), jnp.float32)
 
     def dma(slot, j):
-        return (
+        copies = (
             pltpu.make_async_copy(
                 gfeat_hbm.at[pl.ds(j * 4 * TILE_T, 4 * TILE_T), :],
                 gbuf.at[slot],
                 sems.at[slot, 0],
             ),
-            pltpu.make_async_copy(
-                attrs_hbm.at[:, pl.ds(j * TILE_T, TILE_T)],
-                abuf.at[slot],
-                sems.at[slot, 1],
-            ),
         )
+        if with_attrs:
+            copies += (
+                pltpu.make_async_copy(
+                    attrs_hbm.at[:, pl.ds(j * TILE_T, TILE_T)],
+                    abuf.at[slot],
+                    sems.at[slot, 1],
+                ),
+            )
+        return copies
 
     for d_ in dma(0, 0):
         d_.start()
@@ -164,7 +172,11 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
     loc_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_T, r), 0)
 
     def body(j, carry):
-        best_d, best_i, best_a = carry
+        if with_attrs:
+            best_d, best_i, best_a = carry
+        else:
+            best_d, best_i = carry
+            best_a = None
         slot = lax.rem(j, 2)
         nxt = lax.rem(j + 1, 2)
 
@@ -205,20 +217,22 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
             axis=0, keepdims=True,
         )                                                     # (1, R)
         loc = jnp.where(blk_d < _BIG, loc, -1)
-        onehot = loc_iota[:, :rg] == loc[:, gather_from:]   # (TILE_T, Rg)
-        blk_a = _gather_dot(abuf[slot], onehot.astype(jnp.float32))
-
         better = blk_d < best_d      # strict: earlier block wins ties
-        return (
+        out = (
             jnp.where(better, blk_d, best_d),
             jnp.where(better, loc + j * TILE_T, best_i),
-            jnp.where(better[:, gather_from:], blk_a, best_a),
         )
+        if not with_attrs:
+            return out
+        onehot = loc_iota == loc                      # (TILE_T, R)
+        blk_a = _gather_dot(abuf[slot], onehot.astype(jnp.float32))
+        return out + (jnp.where(better, blk_a, best_a),)
 
-    best_d, best_i, best_a = lax.fori_loop(
-        0, n_blocks, body, (best_d0, best_i0, best_a0)
-    )
-    return best_d, best_i, best_a      # rows: (1,R) (1,R) (ACOLS,R)
+    carry0 = (best_d0, best_i0) + ((best_a0,) if with_attrs else ())
+    res = lax.fori_loop(0, n_blocks, body, carry0)
+    if not with_attrs:
+        return res[0], res[1], None
+    return res                         # rows: (1,R) (1,R) (ACOLS,R)
 
 
 def _shade_rows(attr_rows):

@@ -62,7 +62,7 @@ def supported_grad(scene, cfg: RenderConfig) -> bool:
 
 
 def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
-                         grays, gacc, gbuf, abuf, sems, *,
+                         grays, gbuf, abuf, sems, *,
                          cfg: RenderConfig, n_blocks: int, fast: bool):
     sweep = functools.partial(
         _sweep, gfeat_hbm=gfeat_hbm, attrs_hbm=attrs_hbm,
@@ -82,7 +82,12 @@ def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
     nb = cfg.max_bounces
     zrow = jnp.zeros_like(ox0)
 
-    gacc[...] = jnp.zeros_like(gacc)
+    # Accumulate directly into the revisited constant-index output block
+    # (zeroed once at grid step 0): no duplicate scratch buffer, which
+    # halves the accumulator VMEM and funds the 16k -> 128k T cap.
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtab[...] = jnp.zeros_like(gtab)
 
     def sample_body(_, seed):
         # ---- forward replay (bit-identical to the forward kernel) ----
@@ -191,7 +196,7 @@ def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
                     + jnp.dot(c_lo, onehot,
                               preferred_element_type=jnp.float32)
                 )
-                gacc[:, pl.ds(j * TILE_T, TILE_T)] += piece
+                gtab[:, pl.ds(j * TILE_T, TILE_T)] += piece
                 return 0
 
             lax.fori_loop(0, n_blocks, scatter, 0)
@@ -200,14 +205,6 @@ def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
     lax.fori_loop(0, cfg.spp, sample_body, seeds[0:1, :])
 
     grays[...] = jnp.zeros_like(grays)   # position chain dead -> exact 0
-
-    @pl.when(pl.program_id(0) == 0)
-    def _first():
-        gtab[...] = gacc[...]
-
-    @pl.when(pl.program_id(0) != 0)
-    def _rest():
-        gtab[...] += gacc[...]
 
 
 def bigscene_bwd_call(rays, seeds, gfeat, attrs, gbar, cfg: RenderConfig,
@@ -245,7 +242,6 @@ def bigscene_bwd_call(rays, seeds, gfeat, attrs, gbar, cfg: RenderConfig,
             jax.ShapeDtypeStruct((8, np_), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_ACOLS, tp), jnp.float32),
             pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.bfloat16),
             pltpu.VMEM((2, _ACOLS, TILE_T), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),

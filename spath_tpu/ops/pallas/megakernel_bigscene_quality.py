@@ -200,13 +200,12 @@ def _make_ctx_big(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbuf, abuf,
         return sweep(*o, *d, src)
 
     def nearest2(o, d_sh, d_nx, src):
-        def cat(a, b):
-            return jnp.concatenate([a, b], axis=1)
-
-        o2 = [cat(c, c) for c in o]
-        d2 = [cat(a, b) for a, b in zip(d_sh, d_nx)]
-        bd, bi, ba = sweep(*o2, *d2, cat(src, src), gather_from=r)
-        return (bd[:, :r], bi[:, :r]), (bd[:, r:], bi[:, r:], ba)
+        # Two sweeps sharing the origin: the shadow-occlusion sweep
+        # skips the attribute gather and the attrs DMA. (The sweep is
+        # MXU-bound, so fusing both into one 2R-lane pass buys nothing
+        # — and the mid-loop lane slices it needs crash Mosaic.)
+        occ_d, occ_i, _ = sweep(*o, *d_sh, src, with_attrs=False)
+        return (occ_d, occ_i), sweep(*o, *d_nx, src)
 
     def hit_shading(idx, attr):
         return [attr[c:c + 1, :] for c in range(11)]

@@ -143,11 +143,92 @@ def _rows_bwd(cfg, n_tris, mesh, quality, res, gbar):
 _rows_sharded.defvjp(_rows_fwd, _rows_bwd)
 
 
-# ---- large scenes: the HBM-streamed bigscene kernel under shard_map ----
-# Same replication contract: the (gfeat, attrs) tables live once per
-# device in HBM, ray rows shard on lanes, the attribute-table adjoint
-# psums; the geometry-feature table's cotangent is exactly zero
-# (megakernel_bigscene_grad docstring).
+# ---- large scenes: the HBM-streamed kernels under shard_map ----
+# Same replication contract: the (gfeat, attrs[, light]) tables live
+# once per device in HBM/SMEM, ray rows shard on lanes, the
+# attribute-table adjoint psums; the geometry-feature (and light) table
+# cotangents are exactly zero (megakernel_bigscene_grad /
+# megakernel_bigscene_quality docstrings).
+
+
+def _pack_bigq(scene, camera, cfg, seed, mesh):
+    from spath_tpu.ops.pallas import megakernel_bigscene_quality as bq
+
+    lanes = megakernel.shard_lane_multiple(
+        cfg.n_pixels, mesh.devices.size, bq.TILE_RQ)
+    rays, pix, n = megakernel.pack_rays(camera, cfg, 0,
+                                        lane_multiple=lanes)
+    keys = (
+        jnp.asarray(seed).astype(jnp.uint32) * megakernel_quality._GOLD
+        + pix
+    )
+    gfeat, attrs, ltab, n_blocks, n_lights = \
+        bq.bigscene_quality_tables(scene)
+    return rays, keys, gfeat, attrs, ltab, n_blocks, n_lights, n
+
+
+_BIGQ_IN = (P(None, "rays"), P(None, "rays"), P(), P(), P())
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_lights", "mesh",
+                                   "fast"))
+def _bigq_fwd_sharded(rays, keys, gfeat, attrs, ltab, cfg: RenderConfig,
+                      n_blocks: int, n_lights: int, mesh, fast: bool):
+    from spath_tpu.ops.pallas.megakernel_bigscene_quality import bigq_call
+
+    fn = jax.shard_map(
+        lambda r, k, g, a, lt: bigq_call(r, k, lt, g, a, cfg, n_blocks,
+                                         n_lights, fast),
+        mesh=mesh,
+        in_specs=_BIGQ_IN,
+        out_specs=_ROW_OUT,
+        check_vma=False,
+    )
+    return fn(rays, keys, gfeat, attrs, ltab)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _bigq_rows_sharded(gfeat, attrs, ltab, rays, keys,
+                       cfg: RenderConfig, n_blocks: int, n_lights: int,
+                       mesh, fast: bool):
+    return _bigq_fwd_sharded(rays, keys, gfeat, attrs, ltab, cfg,
+                             n_blocks, n_lights, mesh, fast)
+
+
+def _bigq_rows_fwd(gfeat, attrs, ltab, rays, keys, cfg, n_blocks,
+                   n_lights, mesh, fast):
+    out = _bigq_fwd_sharded(rays, keys, gfeat, attrs, ltab, cfg,
+                            n_blocks, n_lights, mesh, fast)
+    return out, (gfeat, attrs, ltab, rays, keys)
+
+
+def _bigq_rows_bwd(cfg, n_blocks, n_lights, mesh, fast, res, gbar):
+    from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+        bigq_bwd_call,
+    )
+
+    gfeat, attrs, ltab, rays, keys = res
+
+    def shard_bwd(rays_s, keys_s, gfeat_r, attrs_r, ltab_r, gbar_s):
+        gattrs, grays = bigq_bwd_call(
+            rays_s, keys_s, ltab_r, gfeat_r, attrs_r, gbar_s, cfg,
+            n_blocks, n_lights, fast)
+        return jax.lax.psum(gattrs, "rays"), grays
+
+    gattrs, grays = jax.shard_map(
+        shard_bwd,
+        mesh=mesh,
+        in_specs=_BIGQ_IN + (P(None, "rays"),),
+        out_specs=(P(), P(None, "rays")),
+        check_vma=False,
+    )(rays, keys, gfeat, attrs, ltab, gbar)
+    ggfeat = jnp.zeros_like(gfeat)
+    gltab = jnp.zeros_like(ltab)
+    gkeys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
+    return ggfeat, gattrs, gltab, grays, gkeys
+
+
+_bigq_rows_sharded.defvjp(_bigq_rows_fwd, _bigq_rows_bwd)
 
 def _pack_bigscene(scene, camera, cfg, seed, mesh):
     from spath_tpu.ops.pallas import megakernel_bigscene as big
@@ -238,17 +319,29 @@ def render_radiance_fast_sharded(scene, camera, cfg: RenderConfig, seed=0,
 
         mesh = default_mesh()
     if fused_available():
-        if megakernel.supported(scene, cfg):
+        from spath_tpu.models.renderer import SMEM_ROUTE_MAX_TRIS
+        from spath_tpu.ops.pallas import megakernel_bigscene_quality as bq
+
+        small = scene.n_tris <= SMEM_ROUTE_MAX_TRIS
+        if megakernel.supported(scene, cfg) and small:
             rays, seeds, tri, n = _pack_conformance(
                 scene, camera, cfg, seed, mesh)
             out = _fwd_sharded(rays, seeds, tri, cfg, scene.n_tris, mesh,
                                False)
             return _to_image(out, n, cfg)
-        if megakernel_quality.supported(scene, cfg):
+        if megakernel_quality.supported(scene, cfg) and (
+                small or not bq.supported(scene, cfg)):
             rays, keys, tri, n = _pack_quality(
                 scene, camera, cfg, seed, mesh)
             out = _fwd_sharded(rays, keys, tri, cfg, scene.n_tris, mesh,
                                True)
+            return _to_image(out, n, cfg)
+        if bq.supported(scene, cfg):
+            (rays, keys, gfeat, attrs, ltab, n_blocks, n_lights,
+             n) = _pack_bigq(scene, camera, cfg, seed, mesh)
+            out = _bigq_fwd_sharded(
+                rays, keys, gfeat, attrs, ltab, cfg, n_blocks, n_lights,
+                mesh, cfg.intersect == "pallas_fast")
             return _to_image(out, n, cfg)
         from spath_tpu.ops.pallas import megakernel_bigscene
 
@@ -288,17 +381,29 @@ def render_radiance_fastgrad_sharded(scene, camera, cfg: RenderConfig,
 
         mesh = default_mesh()
     if fused_available():
+        from spath_tpu.models.renderer import SMEM_ROUTE_MAX_TRIS
+        from spath_tpu.ops.pallas import megakernel_bigscene_quality as bq
+
+        small = scene.n_tris <= SMEM_ROUTE_MAX_TRIS
         if megakernel_grad.supported_grad(scene, cfg):
             rays, seeds, tri, n = _pack_conformance(
                 scene, camera, cfg, seed, mesh)
             out = _rows_sharded(tri, rays, seeds, cfg, scene.n_tris, mesh,
                                 False)
             return _to_image(out, n, cfg)
-        if megakernel_quality_grad.supported_grad(scene, cfg):
+        if megakernel_quality_grad.supported_grad(scene, cfg) and (
+                small or not bq.supported_grad(scene, cfg)):
             rays, keys, tri, n = _pack_quality(
                 scene, camera, cfg, seed, mesh)
             out = _rows_sharded(tri, rays, keys, cfg, scene.n_tris, mesh,
                                 True)
+            return _to_image(out, n, cfg)
+        if bq.supported_grad(scene, cfg):
+            (rays, keys, gfeat, attrs, ltab, n_blocks, n_lights,
+             n) = _pack_bigq(scene, camera, cfg, seed, mesh)
+            out = _bigq_rows_sharded(
+                gfeat, attrs, ltab, rays, keys, cfg, n_blocks, n_lights,
+                mesh, cfg.intersect == "pallas_fast")
             return _to_image(out, n, cfg)
         from spath_tpu.ops.pallas import megakernel_bigscene_grad
 

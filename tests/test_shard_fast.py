@@ -35,8 +35,9 @@ from spath_tpu.parallel.shard_fast import (
 from spath_tpu.scene import Scene
 
 # Sizes are deliberately small: interpret-mode Pallas under an 8-virtual
-# -device shard_map runs on ~2 host cores, and every sharded call pads to
-# n_dev × TILE_N = 8192 lanes regardless of the image size.
+# -device shard_map runs on ~2 host cores. (Since round 3 small frames
+# pad only to whole 128-lane vregs per device — shard_lane_multiple —
+# not to n_dev x TILE_N.)
 CONF = RenderConfig(width=64, height=32, spp=1, max_bounces=2,
                     rng="lcg", sampler="angle", intersect="reference")
 QUAL = RenderConfig(width=64, height=32, spp=1, max_bounces=2,
@@ -176,6 +177,53 @@ def test_bigscene_sharded_bitexact(mesh4):
         np.testing.assert_allclose(
             g_got, g_want, atol=1e-5 * scale,
             err_msg=f"sharded bigscene grad mismatch: {name}")
+
+
+def test_bigscene_quality_sharded_matches(mesh4):
+    """The streamed QUALITY kernel (NEE/MIS) under shard_map vs
+    single-device. NOT asserted bit-exact: with the round-3 small-frame
+    tile shrink the sharded kernel runs 128-lane tiles while the
+    single-device one runs 512 — differently-shaped programs round trig
+    at ulp level (the documented cross-program phenomenon), so the
+    comparison allows ulp-scale noise; keys stay global so there is no
+    sharding-dependent randomness."""
+    from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+        render_radiance_bigscene_quality,
+    )
+    from spath_tpu.scene import procedural_scene
+
+    scene = procedural_scene(300, seed=0, emissive_fraction=0.1)
+    li = scene.light_idx
+    cam = Camera.default()
+    cfg = QUAL.replace(width=32, height=16)
+    with pltpu.force_tpu_interpret_mode():
+        single = np.asarray(jax.jit(
+            render_radiance_bigscene_quality,
+            static_argnames=("cfg", "fast"))(scene, cam, cfg, 0))
+        sharded = np.asarray(
+            render_radiance_fast_sharded(scene, cam, cfg, 0, mesh4))
+    np.testing.assert_allclose(sharded, single, atol=1e-7)
+
+    wts = _weights(cfg)
+
+    def grads(render_fn, **kw):
+        def loss(vertices, albedo, emission):
+            s = Scene(vertices, albedo, emission, light_idx=li)
+            img = render_fn(s, cam, cfg, 0, **kw)
+            return jnp.sum(img * wts)
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
+            scene.vertices, scene.albedo, scene.emission)
+
+    with pltpu.force_tpu_interpret_mode():
+        want = grads(render_radiance_bigscene_quality)
+        got = grads(render_radiance_fastgrad_sharded, mesh=mesh4)
+    for name, g_got, g_want in zip(NAMES, got, want):
+        g_got, g_want = np.asarray(g_got), np.asarray(g_want)
+        scale = np.abs(g_want).max() + 1e-12
+        np.testing.assert_allclose(
+            g_got, g_want, atol=1e-5 * scale,
+            err_msg=f"sharded bigq grad mismatch: {name}")
 
 
 def test_fastgrad_dispatcher_routes_mesh(scene7, mesh4):
