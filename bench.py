@@ -145,6 +145,12 @@ def main():
     )
     from spath_tpu.scene import Scene, default_scene, procedural_scene
 
+    # CPU baseline FIRST: it must survive even if a later TPU launch
+    # kills the backend (the remote-TPU worker dies on very long single
+    # launches; see the spec-point slicing below).
+    baseline = measure_cpu_baseline()
+    _log(f"cpu baseline: {baseline:.3e} rays/s")
+
     dev = jax.devices()[0]
     _log(f"device: {dev}")
     bench = Bench()
@@ -235,16 +241,24 @@ def main():
     bench.run("stress 10k fwd+bwd quality NEE+MIS 1080p spp2 [streamed]",
               lambda: b(stress, cam), n=2, rays=n_s)
 
-    # the spec point itself, once: 10k tris, 1080p, spp=64, fwd+bwd
-    spec = cfg.replace(spp=64)
-    n_spec = spec.width * spec.height * spec.spp * spec.max_bounces
+    # The spec point itself, once: 10k tris, 1080p-area, spp=64,
+    # fwd+bwd. Run as FOUR 1920x270 slices: a single full-frame spp64
+    # launch is ~80 s of device time and the remote-TPU worker kills
+    # launches longer than ~60 s — each slice is still a genuine
+    # spp=64 compile+execution of the spec program shape.
+    spec = cfg.replace(spp=64, height=270)
+    n_spec = 1920 * 1080 * spec.spp * spec.max_bounces
     b = make_bwd(render_radiance_fastgrad, spec)
-    bench.run("stress 10k fwd+bwd conformance 1080p spp64 [spec point]",
-              lambda: b(procedural_scene(10_000, seed=0), cam), n=1,
-              rays=n_spec)
+    stress10 = procedural_scene(10_000, seed=0)
 
-    baseline = measure_cpu_baseline()
-    _log(f"cpu baseline: {baseline:.3e} rays/s")
+    def spec_point():
+        for _ in range(4):
+            b(stress10, cam)
+
+    bench.run("stress 10k fwd+bwd conformance 1080p-area spp64 "
+              "[spec point, 4 slices]",
+              spec_point, n=1, rays=n_spec)
+
     _log("sections: " + json.dumps(bench.lines))
 
     print(json.dumps({

@@ -139,6 +139,37 @@ def _select_gather_light(tri, u_sel, cols, n_tris):
     return li, outs
 
 
+def _select_gather_light_static(tri, u_sel, cols, light_rows, n_tris):
+    """``_select_gather_light`` walking ONLY the (static) emissive rows.
+
+    Zero-probability rows repeat the previous cdf value exactly (the
+    cumsum adds 0.0), so the crossing can only land on a light row — or
+    on the clipped last row ``T-1`` when ``u >= cdf[-1]`` (possible when
+    the float cumsum tops out below u). Walking the static light list
+    plus one clip step therefore reproduces the full O(T) walk's
+    ``li``/columns BIT-FOR-BIT at O(L) cost — the dominant NEE overhead
+    at few-light scenes (each step selects 18 columns).
+    """
+    cols = tuple(cols)
+    li = jnp.zeros_like(u_sel, dtype=jnp.int32)
+    outs = [jnp.zeros_like(u_sel) for _ in cols]
+    prev_le = jnp.ones_like(u_sel, dtype=jnp.bool_)   # cdf[-1] = -inf
+
+    def take(t, m, li, outs):
+        li = jnp.where(m, t, li)
+        return li, [jnp.where(m, tri[t, c], o)
+                    for c, o in zip(cols, outs)]
+
+    for t in light_rows:
+        le = tri[t, _COL_CDF] <= u_sel
+        li, outs = take(t, prev_le & jnp.logical_not(le), li, outs)
+        prev_le = le
+    # the clipped count == T case lands on the last row (same row the
+    # full walk picks; dark rows carry prob 0, so it never contributes)
+    li, outs = take(n_tris - 1, prev_le, li, outs)
+    return li, outs
+
+
 def _mt2_step(t, ox, oy, oz, d1, d2, src, tri, b1, b2):
     """Möller–Trumbore of TWO rays sharing an origin against triangle
     ``t`` in one pass over the table row.
@@ -206,7 +237,8 @@ def _nearest2(o, d1, d2, src, tri, n_tris):
     return lax.fori_loop(0, n_tris, body, (b1, b2))
 
 
-def _make_ctx(rays, keys, tri, cfg: RenderConfig, n_tris: int):
+def _make_ctx(rays, keys, tri, cfg: RenderConfig, n_tris: int,
+              light_rows=None):
     """Per-tile trace context shared by the forward and backward kernels.
 
     The estimator body (``_sample_walk``) is intersection-backend
@@ -252,13 +284,14 @@ def _make_ctx(rays, keys, tri, cfg: RenderConfig, n_tris: int):
     def hit_geo(idx, attr):
         return _gather_cols(tri, idx, tuple(range(9)), n_tris)
 
+    _lsel_cols = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                  15, 16, 17, _COL_PROB, _COL_AREA)
+
     def select_light(u):
-        return _select_gather_light(
-            tri, u,
-            (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
-             15, 16, 17, _COL_PROB, _COL_AREA),
-            n_tris,
-        )
+        if light_rows is not None:
+            return _select_gather_light_static(
+                tri, u, _lsel_cols, light_rows, n_tris)
+        return _select_gather_light(tri, u, _lsel_cols, n_tris)
 
     fh = nearest1((ox0, oy0, oz0), (dx0, dy0, dz0), src0)
     return dict(
@@ -498,8 +531,8 @@ def _sample_walk(s, ctx):
 
 
 def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
-                    n_tris: int):
-    ctx = _make_ctx(rays, keys, tri, cfg, n_tris)
+                    n_tris: int, light_rows=None):
+    ctx = _make_ctx(rays, keys, tri, cfg, n_tris, light_rows)
 
     def sample_body(s, carry):
         acc_r, acc_g, acc_b = carry
@@ -556,5 +589,6 @@ def render_radiance_quality_megakernel(scene, camera, cfg: RenderConfig,
     tri = quality_table(scene)
     from spath_tpu.ops.pallas.megakernel_quality_grad import quality_call
 
-    out = quality_call(rays, keys, tri, cfg, scene.n_tris)
+    out = quality_call(rays, keys, tri, cfg, scene.n_tris,
+                       scene.light_idx)
     return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

@@ -217,7 +217,8 @@ def _reverse_bounce(sv, tb, ob, g3, cfg: RenderConfig, zrow):
 
 
 def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
-                      n_tris: int, unroll_samples: bool = False):
+                      n_tris: int, unroll_samples: bool = False,
+                      light_rows=None):
     """Pure per-tile adjoint of the quality estimator.
 
     Returns ``(gtab_rows (ACCR, N), gray_rows (8, N))``.
@@ -228,7 +229,7 @@ def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
     differently from eager trig, flipping a few chaotic paths between
     the replay and the autodiff ground truth's eager primal.
     """
-    ctx = _make_ctx(rays, keys, tri, cfg, n_tris)
+    ctx = _make_ctx(rays, keys, tri, cfg, n_tris, light_rows)
     ox0 = ctx["o0"][0]
     zrow = jnp.zeros_like(ox0)
     inv = np.float32(1.0 / cfg.spp)
@@ -313,9 +314,11 @@ def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
     return gtab_rows, gray_rows
 
 
-def _qbwd_kernel(rays, keys, tri, gbar, gtab, grays, *, cfg, n_tris):
+def _qbwd_kernel(rays, keys, tri, gbar, gtab, grays, *, cfg, n_tris,
+                 light_rows=None):
     gtab_rows, gray_rows = _bwd_tile_quality(
-        rays, keys, tri, gbar, cfg=cfg, n_tris=n_tris)
+        rays, keys, tri, gbar, cfg=cfg, n_tris=n_tris,
+        light_rows=light_rows)
     grays[...] = gray_rows
 
     @pl.when(pl.program_id(0) == 0)
@@ -327,13 +330,20 @@ def _qbwd_kernel(rays, keys, tri, gbar, gtab, grays, *, cfg, n_tris):
         gtab[...] += gtab_rows
 
 
-def quality_call(rays, keys, tri, cfg: RenderConfig, n_tris: int):
-    """Raw forward quality pallas_call on packed rows → (4, Np)."""
+def quality_call(rays, keys, tri, cfg: RenderConfig, n_tris: int,
+                 light_rows=None):
+    """Raw forward quality pallas_call on packed rows → (4, Np).
+
+    ``light_rows``: static tuple of emissive row indices
+    (``Scene.light_idx``) — enables the O(L) light-selection walk
+    (bit-equal to the full O(T) walk; see
+    ``megakernel_quality._select_gather_light_static``)."""
     from spath_tpu.ops.pallas.megakernel_quality import _quality_kernel
 
     np_ = rays.shape[1]
     tile = tile_for(np_)
-    kernel = functools.partial(_quality_kernel, cfg=cfg, n_tris=n_tris)
+    kernel = functools.partial(_quality_kernel, cfg=cfg, n_tris=n_tris,
+                               light_rows=light_rows)
     return pl.pallas_call(
         kernel,
         grid=(np_ // tile,),
@@ -351,7 +361,7 @@ def quality_call(rays, keys, tri, cfg: RenderConfig, n_tris: int):
 
 
 def quality_bwd_call(rays, keys, tri, gbar, cfg: RenderConfig,
-                     n_tris: int):
+                     n_tris: int, light_rows=None):
     """Raw backward pallas_call → ``(gtab19 (T, 19), grays (8, Np))``
     for this wavefront; the shard_map path psums ``gtab19`` over the
     mesh axis (see ``megakernel_grad.mega_bwd_call``)."""
@@ -362,7 +372,8 @@ def quality_bwd_call(rays, keys, tri, gbar, cfg: RenderConfig,
         gshape = (_SROWS, _acc_tp(n_tris))    # triangle-major
     else:
         gshape = (_qaccr(n_tris), tile)       # lane-parallel rows
-    kernel = functools.partial(_qbwd_kernel, cfg=cfg, n_tris=n_tris)
+    kernel = functools.partial(_qbwd_kernel, cfg=cfg, n_tris=n_tris,
+                               light_rows=light_rows)
     gtab_rows, grays = pl.pallas_call(
         kernel,
         grid=(np_ // tile,),
@@ -403,19 +414,22 @@ def grad_table_from_gtab19(gtab19, n_tris: int):
          jnp.zeros((n_tris, 4), jnp.float32)], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def quality_rows(tri, rays, keys, cfg: RenderConfig, n_tris: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def quality_rows(tri, rays, keys, cfg: RenderConfig, n_tris: int,
+                 light_rows=None):
     """Forward quality megakernel on packed rows, hand-written VJP."""
-    return quality_call(rays, keys, tri, cfg, n_tris)
+    return quality_call(rays, keys, tri, cfg, n_tris, light_rows)
 
 
-def _q_fwd(tri, rays, keys, cfg, n_tris):
-    return quality_rows(tri, rays, keys, cfg, n_tris), (tri, rays, keys)
+def _q_fwd(tri, rays, keys, cfg, n_tris, light_rows):
+    return (quality_rows(tri, rays, keys, cfg, n_tris, light_rows),
+            (tri, rays, keys))
 
 
-def _q_bwd(cfg, n_tris, res, gbar):
+def _q_bwd(cfg, n_tris, light_rows, res, gbar):
     tri, rays, keys = res
-    gtab19, grays = quality_bwd_call(rays, keys, tri, gbar, cfg, n_tris)
+    gtab19, grays = quality_bwd_call(rays, keys, tri, gbar, cfg, n_tris,
+                                     light_rows)
     gtri = grad_table_from_gtab19(gtab19, n_tris)
     gkeys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
     return gtri, grays, gkeys
@@ -435,5 +449,6 @@ def render_radiance_quality_grad(scene, camera, cfg: RenderConfig, seed=0):
     rays, pix, n = pack_rays(camera, cfg, 0)
     keys = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix
     tri = quality_table(scene)
-    out = quality_rows(tri, rays, keys, cfg, scene.n_tris)
+    out = quality_rows(tri, rays, keys, cfg, scene.n_tris,
+                       scene.light_idx)
     return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

@@ -186,6 +186,11 @@ def render_flat_ring(scene, camera, cfg: RenderConfig, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(axis),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation,
+        # so vma checking must be off for cfg.intersect='pallas*' (the
+        # per-shard sweep through the MXU kernel); the specs above are
+        # replication-correct by construction.
+        check_vma=False,
     )
     def go(o, d, v0, v1, v2, src, alb):
         _, idx = nearest_hit_ring(o, d, v0, v1, v2, src, cfg, axis)
@@ -429,6 +434,7 @@ def render_pt_ring(scene, camera, cfg: RenderConfig, mesh: Mesh, seed=0):
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(axis),
+        check_vma=False,   # pallas sweeps (see render_flat_ring)
     )
     def go(o, d, pids, table, seed):
         return _trace_ring(table, o, d, pids, cfg, seed, axis,

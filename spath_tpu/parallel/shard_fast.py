@@ -80,16 +80,19 @@ def _pack_quality(scene, camera, cfg, seed, mesh):
     return rays, keys, megakernel_quality.quality_table(scene), n
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_tris", "mesh", "quality"))
+@partial(jax.jit, static_argnames=("cfg", "n_tris", "mesh", "quality",
+                                   "light_rows"))
 def _fwd_sharded(rays, seeds, tri, cfg: RenderConfig, n_tris: int, mesh,
-                 quality: bool):
-    call = (
-        megakernel_quality_grad.quality_call
-        if quality
-        else megakernel.mega_call
-    )
+                 quality: bool, light_rows=None):
+    if quality:
+        def call(r, s, t):
+            return megakernel_quality_grad.quality_call(
+                r, s, t, cfg, n_tris, light_rows)
+    else:
+        def call(r, s, t):
+            return megakernel.mega_call(r, s, t, cfg, n_tris)
     fn = jax.shard_map(
-        lambda r, s, t: call(r, s, t, cfg, n_tris),
+        lambda r, s, t: call(r, s, t),
         mesh=mesh,
         in_specs=_ROW_IN,
         out_specs=_ROW_OUT,
@@ -100,23 +103,28 @@ def _fwd_sharded(rays, seeds, tri, cfg: RenderConfig, n_tris: int, mesh,
     return fn(rays, seeds, tri)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _rows_sharded(tri, rays, seeds, cfg: RenderConfig, n_tris: int, mesh,
-                  quality: bool):
+                  quality: bool, light_rows=None):
     """Sharded fused forward on packed rows with a hand-written VJP
     (each shard runs the reverse-sweep kernel; table adjoints psum)."""
-    return _fwd_sharded(rays, seeds, tri, cfg, n_tris, mesh, quality)
+    return _fwd_sharded(rays, seeds, tri, cfg, n_tris, mesh, quality,
+                        light_rows)
 
 
-def _rows_fwd(tri, rays, seeds, cfg, n_tris, mesh, quality):
-    out = _fwd_sharded(rays, seeds, tri, cfg, n_tris, mesh, quality)
+def _rows_fwd(tri, rays, seeds, cfg, n_tris, mesh, quality,
+              light_rows=None):
+    out = _fwd_sharded(rays, seeds, tri, cfg, n_tris, mesh, quality,
+                       light_rows)
     return out, (tri, rays, seeds)
 
 
-def _rows_bwd(cfg, n_tris, mesh, quality, res, gbar):
+def _rows_bwd(cfg, n_tris, mesh, quality, light_rows, res, gbar):
     tri, rays, seeds = res
     if quality:
-        bwd_call = megakernel_quality_grad.quality_bwd_call
+        def bwd_call(r, s, t, g, c, n):
+            return megakernel_quality_grad.quality_bwd_call(
+                r, s, t, g, c, n, light_rows)
         to_table = megakernel_quality_grad.grad_table_from_gtab19
     else:
         bwd_call = megakernel_grad.mega_bwd_call
@@ -334,7 +342,7 @@ def render_radiance_fast_sharded(scene, camera, cfg: RenderConfig, seed=0,
             rays, keys, tri, n = _pack_quality(
                 scene, camera, cfg, seed, mesh)
             out = _fwd_sharded(rays, keys, tri, cfg, scene.n_tris, mesh,
-                               True)
+                               True, scene.light_idx)
             return _to_image(out, n, cfg)
         if bq.supported(scene, cfg):
             (rays, keys, gfeat, attrs, ltab, n_blocks, n_lights,
@@ -389,14 +397,14 @@ def render_radiance_fastgrad_sharded(scene, camera, cfg: RenderConfig,
             rays, seeds, tri, n = _pack_conformance(
                 scene, camera, cfg, seed, mesh)
             out = _rows_sharded(tri, rays, seeds, cfg, scene.n_tris, mesh,
-                                False)
+                                False, None)
             return _to_image(out, n, cfg)
         if megakernel_quality_grad.supported_grad(scene, cfg) and (
                 small or not bq.supported_grad(scene, cfg)):
             rays, keys, tri, n = _pack_quality(
                 scene, camera, cfg, seed, mesh)
             out = _rows_sharded(tri, rays, keys, cfg, scene.n_tris, mesh,
-                                True)
+                                True, scene.light_idx)
             return _to_image(out, n, cfg)
         if bq.supported_grad(scene, cfg):
             (rays, keys, gfeat, attrs, ltab, n_blocks, n_lights,

@@ -209,6 +209,40 @@ def test_ring_nee_matches_replicated(scene7, mis, rr):
     _assert_images_match(got, want)
 
 
+def test_ring_with_pallas_intersection():
+    """Ring mode x MXU: the per-shard sweep through the K-packed Pallas
+    kernel (``cfg.intersect='pallas'``) — long-context mode no longer
+    locked to the XLA intersection (round-3; requires check_vma=False
+    on the ring shard_maps since pallas_call outputs carry no vma).
+
+    2-device mesh: each interpret-mode Pallas sweep pads to a full
+    1024x1024 tile and runs for seconds on the 2 host cores; with 8
+    virtual devices the shards drift past XLA-CPU's hard 40 s collective
+    rendezvous timeout and the process aborts. Two symmetric shards stay
+    in lockstep. (Real-TPU sweeps are microseconds — not a TPU issue.)
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spath_tpu.parallel.ring import render_flat_ring, render_pt_ring
+    from spath_tpu.scene import procedural_scene
+
+    scene = procedural_scene(512, seed=0, emissive_fraction=0.1)
+    cfg = RenderConfig(width=32, height=16, spp=1, max_bounces=2,
+                       rng="hash", sampler="cosine", nee=True,
+                       intersect="pallas")
+    cam = Camera.default()
+    mesh = make_mesh(2, axis="shard")
+    with pltpu.force_tpu_interpret_mode():
+        flat = np.asarray(render_flat_ring(scene, cam, cfg, mesh))
+        from spath_tpu.models.flat import render_flat
+
+        flat_ref = np.asarray(render_flat(scene, cam, cfg))
+        pt = np.asarray(render_pt_ring(scene, cam, cfg, mesh, 0))
+        want = np.asarray(render_pt(scene, cam, cfg, seed=0))
+    assert (flat != flat_ref).any(-1).mean() < 0.02
+    _assert_images_match(pt, want)
+
+
 def test_ring_nee_procedural_multi_light():
     """Many lights spread across different ring shards: selection must
     pick lights owned by remote shards correctly."""
