@@ -27,6 +27,7 @@ first-hit hoisted out of the sample loop.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,11 +43,24 @@ _INV_EPS = np.float32(1.0 / EPSILON)
 _BIG = np.float32(MAX_DIST)
 _PI = np.float64(np.arccos(-1.0))
 
-TILE_N = 1024
+TILE_N = int(os.environ.get("SPATH_TILE_N", "1024"))
 #: lane-tile quantum: every ray-row block must be a whole number of
 #: 128-lane vregs; tiles smaller than TILE_N (small sharded frames) are
 #: rounded up to this instead of to TILE_N (see ``shard_lane_multiple``).
 LANE = 128
+
+#: Dead-tile skip (camera-tile culling): tiles whose camera rays ALL
+#: miss the scene write zeros and skip the sample loop; combined with
+#: ``order_rays_live_first`` this culls the background fraction of the
+#: frame (~43% of the default view). MEASURED NEGATIVE and therefore
+#: OFF by default: any per-tile conditional region (lax.cond OR
+#: result-free pl.when, tile 1024-8192) stalls Mosaic's cross-tile
+#: software pipeline — quality 1080p64: 214 ms unconditioned vs
+#: 249-263 ms with the branch, and an ALL-dead frame still costs
+#: 186 ms. Kept env-gated for reproducibility of the decision
+#: (docs/PERFORMANCE.md "per-bounce/per-tile compaction"); the skip
+#: composes bit-exactly (verified skip-on vs skip-off, fwd and VJP).
+DEAD_TILE_SKIP = os.environ.get("SPATH_DEAD_TILE_SKIP", "0") == "1"
 
 
 def tile_for(n_lanes: int, tile_max: int = TILE_N) -> int:
@@ -241,14 +255,37 @@ def _megakernel(rays, seeds, tri, out, *, cfg: RenderConfig, n_tris: int):
 
     seed0 = seeds[0:1, :]
     zeros = jnp.zeros_like(ox0)
-    _, acc_r, acc_g, acc_b = lax.fori_loop(
-        0, cfg.spp, sample_body, (seed0, zeros, zeros, zeros)
-    )
     inv = np.float32(1.0) / np.float32(cfg.spp)
-    out[0:1, :] = acc_r * inv
-    out[1:2, :] = acc_g * inv
-    out[2:3, :] = acc_b * inv
-    out[3:4, :] = jnp.zeros_like(acc_r)  # padding row of the (4, N) block
+
+    def run_loop():
+        _, acc_r, acc_g, acc_b = lax.fori_loop(
+            0, cfg.spp, sample_body, (seed0, zeros, zeros, zeros)
+        )
+        out[0:1, :] = acc_r * inv
+        out[1:2, :] = acc_g * inv
+        out[2:3, :] = acc_b * inv
+        out[3:4, :] = zeros  # padding row of the (4, N) block
+
+    if not DEAD_TILE_SKIP:
+        run_loop()
+        return
+
+    # Dead-tile skip: if every camera ray in this tile misses the scene,
+    # every sample/bounce term is hit-masked to zero, so the whole sample
+    # loop is skipped (bit-exact — the skipped branch writes the same
+    # all-zero rows the loop would). Background tiles (~25% of a
+    # default 1080p frame; ~43% of lanes after live-first ordering, see
+    # ``order_rays_live_first``) then cost one first-hit sweep instead of
+    # spp x bounces sweeps. Structured as result-free ``pl.when``
+    # branches writing ``out`` directly: a ``lax.cond`` RETURNING the
+    # (1, N) accumulators makes Mosaic materialize branch-result layouts
+    # and measured ~20% slower on the WHOLE kernel.
+    live = jnp.any(fh_i >= 0)
+    pl.when(live)(run_loop)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out[0:4, :] = jnp.zeros((4, zeros.shape[1]), jnp.float32)
 
 
 def _scene_table(scene):
@@ -299,6 +336,47 @@ def pack_rays(camera, cfg: RenderConfig, seed, lane_multiple: int = TILE_N):
     return rays, seeds, n
 
 
+def order_rays_live_first(scene, rays, keys, cfg: RenderConfig):
+    """Stable live-first lane permutation for a packed ray buffer.
+
+    Camera rays that miss the whole scene contribute exactly zero for
+    every sample and bounce, and every lane's result depends only on its
+    own (ray, key) pair — per-pixel RNG streams are keyed by the global
+    pixel id riding in ``keys`` — so reordering lanes changes which lanes
+    share a grid tile but not any lane's value. Packing the miss lanes
+    (43% of the default 1080p view, plus all padding lanes) into
+    contiguous trailing tiles lets the kernels' dead-tile ``lax.cond``
+    skip them wholesale instead of catching only the ~25% of tiles that
+    happen to be fully dead in row-major order.
+
+    The classification itself doesn't need to match the kernel's ε
+    semantics bit-for-bit: each tile re-derives its own first hit, so a
+    misclassified lane costs only the skipped-tile saving, never
+    correctness.
+
+    Returns ``(rays_p, keys_p, order)``; unpermute outputs with
+    ``out.at[:, order].set(out_p)`` (or rely on the gather transpose for
+    gradients through ``rays_p``).
+    """
+    from spath_tpu.ops.intersect import nearest_hit
+
+    o = rays[0:3, :].T
+    d = rays[3:6, :].T
+    src = jnp.full(o.shape[0], -1, jnp.int32)
+    _, idx = nearest_hit(
+        o, d, scene.v0, scene.v1, scene.v2, src, cfg)
+    miss = lax.stop_gradient(idx < 0).astype(jnp.int32)
+    order = jnp.argsort(miss, stable=True)
+    return rays[:, order], keys[:, order], order
+
+
+def unpermute_rows(out_p, order):
+    """Inverse of the ``order_rays_live_first`` permutation on row-major
+    per-lane outputs: ``out_p[:, j]`` belongs to original lane
+    ``order[j]``."""
+    return jnp.zeros_like(out_p).at[:, order].set(out_p)
+
+
 def mega_call(rays, seeds, tri, cfg: RenderConfig, n_tris: int):
     """Raw forward pallas_call on packed rows → ``(4, Np)`` radiance rows."""
     np_ = rays.shape[1]
@@ -331,5 +409,12 @@ def render_radiance_megakernel(scene, camera, cfg: RenderConfig, seed=0):
         raise ValueError("megakernel supports lcg+angle, T <= MAX_TRIS")
     rays, seeds, n = pack_rays(camera, cfg, seed)
     tri = _scene_table(scene)
-    out = mega_call(rays, seeds, tri, cfg, scene.n_tris)
+    if DEAD_TILE_SKIP and rays.shape[1] > TILE_N:
+        # live-first ordering: bit-exact, turns scattered miss lanes
+        # into whole dead tiles the kernel's pl.when skips
+        rays, seeds, order = order_rays_live_first(scene, rays, seeds, cfg)
+        out = unpermute_rows(
+            mega_call(rays, seeds, tri, cfg, scene.n_tris), order)
+    else:
+        out = mega_call(rays, seeds, tri, cfg, scene.n_tris)
     return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

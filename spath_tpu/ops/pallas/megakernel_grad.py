@@ -48,6 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spath_tpu.config import RenderConfig
 from spath_tpu.ops.pallas.megakernel import (
+    DEAD_TILE_SKIP,
+    TILE_N,
     _gather_cols,
     _lcg,
     _nearest,
@@ -149,7 +151,7 @@ def _cross(ax, ay, az, bx, by, bz):
 
 
 def _bwd_tile(rays, seeds, tri, gbar, *, cfg, n_tris,
-              position_chain: bool = False):
+              position_chain: bool = False, fh=None):
     """Pure per-tile adjoint: packed rows in, adjoint rows out.
 
     Returns ``(gtab_rows (ACCR, N), gray_rows (8, N))`` — lane-parallel
@@ -171,7 +173,9 @@ def _bwd_tile(rays, seeds, tri, gbar, *, cfg, n_tris,
     ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx0, dy0, dz0 = rays[3:4, :], rays[4:5, :], rays[5:6, :]
     src0 = jnp.full_like(ox0, -1.0).astype(jnp.int32)
-    fh_d, fh_i = _nearest(ox0, oy0, oz0, dx0, dy0, dz0, src0, tri, n_tris)
+    if fh is None:
+        fh = _nearest(ox0, oy0, oz0, dx0, dy0, dz0, src0, tri, n_tris)
+    fh_d, fh_i = fh
 
     inv = np.float32(1.0 / cfg.spp)
     g_r = gbar[0:1, :] * inv
@@ -364,17 +368,52 @@ def _bwd_tile(rays, seeds, tri, gbar, *, cfg, n_tris,
 
 
 def _mega_bwd_kernel(rays, seeds, tri, gbar, gtab, grays, *, cfg, n_tris):
-    gtab_rows, gray_rows = _bwd_tile(rays, seeds, tri, gbar,
-                                     cfg=cfg, n_tris=n_tris)
-    grays[...] = gray_rows
+    if not DEAD_TILE_SKIP:
+        gtab_rows, gray_rows = _bwd_tile(rays, seeds, tri, gbar,
+                                         cfg=cfg, n_tris=n_tris)
+        grays[...] = gray_rows
 
-    @pl.when(pl.program_id(0) == 0)
-    def _first():
-        gtab[...] = gtab_rows
+        @pl.when(pl.program_id(0) == 0)
+        def _first():
+            gtab[...] = gtab_rows
 
-    @pl.when(pl.program_id(0) != 0)
-    def _rest():
-        gtab[...] += gtab_rows
+        @pl.when(pl.program_id(0) != 0)
+        def _rest():
+            gtab[...] += gtab_rows
+
+        return
+
+    # Dead-tile skip (see megakernel.py): every adjoint term is
+    # hit-masked, so an all-camera-miss tile contributes exact zeros —
+    # skip the whole replay + reverse sweep. Result-free pl.when
+    # branches (a value-returning lax.cond pessimizes Mosaic layouts).
+    ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx0, dy0, dz0 = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    src0 = jnp.full_like(ox0, -1.0).astype(jnp.int32)
+    fh = _nearest(ox0, oy0, oz0, dx0, dy0, dz0, src0, tri, n_tris)
+    live = jnp.any(fh[1] >= 0)
+
+    @pl.when(live)
+    def _():
+        gtab_rows, gray_rows = _bwd_tile(rays, seeds, tri, gbar,
+                                         cfg=cfg, n_tris=n_tris, fh=fh)
+        grays[...] = gray_rows
+
+        @pl.when(pl.program_id(0) == 0)
+        def _first():
+            gtab[...] = gtab_rows
+
+        @pl.when(pl.program_id(0) != 0)
+        def _rest():
+            gtab[...] += gtab_rows
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        grays[...] = jnp.zeros(grays.shape, grays.dtype)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _first():
+            gtab[...] = jnp.zeros(gtab.shape, gtab.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -469,5 +508,18 @@ def render_radiance_mega(scene, camera, cfg: RenderConfig, seed=0):
             "megakernel VJP supports lcg+angle, T <= GRAD_MAX_TRIS")
     rays, seeds, n = pack_rays(camera, cfg, seed)
     tri = _scene_table(scene)
-    out = mega_rows(tri, rays, seeds, cfg, scene.n_tris)
+    if DEAD_TILE_SKIP and rays.shape[1] > TILE_N:
+        # live-first ordering (bit-exact, see megakernel.py) — the
+        # permutation is detached, so the gather/scatter pair transposes
+        # cleanly around the custom VJP
+        from spath_tpu.ops.pallas.megakernel import (
+            order_rays_live_first,
+            unpermute_rows,
+        )
+
+        rays, seeds, order = order_rays_live_first(scene, rays, seeds, cfg)
+        out = unpermute_rows(
+            mega_rows(tri, rays, seeds, cfg, scene.n_tris), order)
+    else:
+        out = mega_rows(tri, rays, seeds, cfg, scene.n_tris)
     return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
 
 from spath_tpu.config import RenderConfig
 from spath_tpu.ops.pallas.megakernel import (
@@ -39,6 +40,7 @@ from spath_tpu.ops.pallas.megakernel import (
     _INV_EPS as _MEGA_INV_EPS,
 )
 from spath_tpu.ops.pallas.megakernel import (
+    DEAD_TILE_SKIP,
     MAX_TRIS,
     UNROLL_TRIS,
     _gather_cols,
@@ -540,14 +542,32 @@ def _quality_kernel(rays, keys, tri, out, *, cfg: RenderConfig,
         return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
 
     zeros = jnp.zeros_like(ctx["o0"][0])
-    acc_r, acc_g, acc_b = lax.fori_loop(
-        0, cfg.spp, sample_body, (zeros, zeros, zeros)
-    )
     inv = np.float32(1.0) / np.float32(cfg.spp)
-    out[0:1, :] = acc_r * inv
-    out[1:2, :] = acc_g * inv
-    out[2:3, :] = acc_b * inv
-    out[3:4, :] = jnp.zeros_like(acc_r)
+
+    def run_loop():
+        acc_r, acc_g, acc_b = lax.fori_loop(
+            0, cfg.spp, sample_body, (zeros, zeros, zeros)
+        )
+        out[0:1, :] = acc_r * inv
+        out[1:2, :] = acc_g * inv
+        out[2:3, :] = acc_b * inv
+        out[3:4, :] = zeros
+
+    if not DEAD_TILE_SKIP:
+        run_loop()
+        return
+
+    # Dead-tile skip (see megakernel.py): all-camera-miss tiles produce
+    # exact zeros for every sample and bounce, so skip the sample loop.
+    # Structured as result-free pl.when branches that each write `out`
+    # directly (a lax.cond RETURNING the (1, N) accumulators makes
+    # Mosaic materialize branch-result layouts — measured slower).
+    live = jnp.any(ctx["fh"][1] >= 0)
+    pl.when(live)(run_loop)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out[0:4, :] = jnp.zeros((4, zeros.shape[1]), jnp.float32)
 
 
 def quality_table(scene):
@@ -587,8 +607,21 @@ def render_radiance_quality_megakernel(scene, camera, cfg: RenderConfig,
     rays, pix, n = pack_rays(camera, cfg, 0)
     keys = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix
     tri = quality_table(scene)
+    from spath_tpu.ops.pallas.megakernel import (
+        TILE_N,
+        order_rays_live_first,
+        unpermute_rows,
+    )
     from spath_tpu.ops.pallas.megakernel_quality_grad import quality_call
 
-    out = quality_call(rays, keys, tri, cfg, scene.n_tris,
-                       scene.light_idx)
+    if DEAD_TILE_SKIP and rays.shape[1] > TILE_N:
+        # live-first ordering: bit-exact, coalesces miss lanes into
+        # whole dead tiles the kernel's pl.when skips (megakernel.py)
+        rays, keys, order = order_rays_live_first(scene, rays, keys, cfg)
+        out = unpermute_rows(
+            quality_call(rays, keys, tri, cfg, scene.n_tris,
+                         scene.light_idx), order)
+    else:
+        out = quality_call(rays, keys, tri, cfg, scene.n_tris,
+                           scene.light_idx)
     return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

@@ -33,7 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spath_tpu.config import RenderConfig
-from spath_tpu.ops.pallas.megakernel import pack_rays, tile_for
+from spath_tpu.ops.pallas.megakernel import (
+    DEAD_TILE_SKIP,
+    _nearest,
+    pack_rays,
+    tile_for,
+)
 from spath_tpu.ops.pallas.megakernel_grad import (
     GRAD_MAX_TRIS,
     GRAD_UNROLL_TRIS,
@@ -316,18 +321,42 @@ def _bwd_tile_quality(rays, keys, tri, gbar, *, cfg: RenderConfig,
 
 def _qbwd_kernel(rays, keys, tri, gbar, gtab, grays, *, cfg, n_tris,
                  light_rows=None):
-    gtab_rows, gray_rows = _bwd_tile_quality(
-        rays, keys, tri, gbar, cfg=cfg, n_tris=n_tris,
-        light_rows=light_rows)
-    grays[...] = gray_rows
+    def run_tile():
+        gtab_rows, gray_rows = _bwd_tile_quality(
+            rays, keys, tri, gbar, cfg=cfg, n_tris=n_tris,
+            light_rows=light_rows)
+        grays[...] = gray_rows
 
-    @pl.when(pl.program_id(0) == 0)
-    def _first():
-        gtab[...] = gtab_rows
+        @pl.when(pl.program_id(0) == 0)
+        def _first():
+            gtab[...] = gtab_rows
 
-    @pl.when(pl.program_id(0) != 0)
-    def _rest():
-        gtab[...] += gtab_rows
+        @pl.when(pl.program_id(0) != 0)
+        def _rest():
+            gtab[...] += gtab_rows
+
+    if not DEAD_TILE_SKIP:
+        run_tile()
+        return
+
+    # Dead-tile skip (see megakernel.py): all adjoint terms are
+    # hit/ok-masked, so an all-camera-miss tile contributes exact zeros
+    # — skip the whole replay + reverse sweep. One extra first-hit walk
+    # here (vs the replay's own) is negligible against the spp loop.
+    ox0, oy0, oz0 = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx0, dy0, dz0 = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    src0 = jnp.full_like(ox0, -1.0).astype(jnp.int32)
+    _, fh_i = _nearest(ox0, oy0, oz0, dx0, dy0, dz0, src0, tri, n_tris)
+    live = jnp.any(fh_i >= 0)
+    pl.when(live)(run_tile)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        grays[...] = jnp.zeros(grays.shape, grays.dtype)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _first():
+            gtab[...] = jnp.zeros(gtab.shape, gtab.dtype)
 
 
 def quality_call(rays, keys, tri, cfg: RenderConfig, n_tris: int,
@@ -449,6 +478,20 @@ def render_radiance_quality_grad(scene, camera, cfg: RenderConfig, seed=0):
     rays, pix, n = pack_rays(camera, cfg, 0)
     keys = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix
     tri = quality_table(scene)
-    out = quality_rows(tri, rays, keys, cfg, scene.n_tris,
-                       scene.light_idx)
+    if DEAD_TILE_SKIP and rays.shape[1] > tile_for(rays.shape[1]):
+        # live-first ordering (bit-exact, see megakernel.py) — the
+        # permutation is detached, so the gather/scatter pair transposes
+        # cleanly around the custom VJP
+        from spath_tpu.ops.pallas.megakernel import (
+            order_rays_live_first,
+            unpermute_rows,
+        )
+
+        rays, keys, order = order_rays_live_first(scene, rays, keys, cfg)
+        out = unpermute_rows(
+            quality_rows(tri, rays, keys, cfg, scene.n_tris,
+                         scene.light_idx), order)
+    else:
+        out = quality_rows(tri, rays, keys, cfg, scene.n_tris,
+                           scene.light_idx)
     return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)
