@@ -175,6 +175,20 @@ def main():
     bench.run("fwd quality NEE+MIS 1080p64 [fused]",
               lambda: sync(fwd(scene, cam, qcfg, 1)), rays=n_rays)
 
+    # --- forward: bucket-compacted fused launch (static-viewpoint
+    # serving: classification plan amortized across frames; the plan is
+    # seed-independent and costs ~74 ms warm in this environment) ---
+    from spath_tpu.models.compact_fast import (
+        render_radiance_compact_fused,
+    )
+
+    bench.run("fwd conformance 1080p64 [compact fused]",
+              lambda: sync(render_radiance_compact_fused(
+                  scene, cam, cfg, 1)), rays=n_rays)
+    bench.run("fwd quality NEE+MIS 1080p64 [compact fused]",
+              lambda: sync(render_radiance_compact_fused(
+                  scene, cam, qcfg, 1)), rays=n_rays)
+
     # --- forward, general wavefront path (differentiable renderer) ---
     fwd_wave = jax.jit(render_pt, static_argnames=("cfg",))
     bench.run("fwd conformance 1080p64 [wavefront]",

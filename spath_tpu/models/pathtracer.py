@@ -85,6 +85,27 @@ def _bounce_uniforms(cfg, rng_state, hit, bounce, pixel_ids, n,
     return rng_state, per_pixel_uniforms(k, pixel_ids, n_draws)
 
 
+def _tri_dist(o, d, v0h, e1h, e2h, hit):
+    """Differentiable hit distance of ray ``(o, d)`` against its KNOWN
+    hit triangle ``(v0h, e1h, e2h)`` — O(1) per lane (no O(T) sweep).
+
+    Möller–Trumbore ``t = dot(e2, s × e1) / dot(e1, d × e2)`` with the
+    direction detached (detached-sampling policy). Forward equals the
+    sweep's distance to reassociation ulps; since the vis-residual's
+    forward value is exactly zero regardless, only the GRADIENT
+    evaluation point shifts by those ulps. Non-hit lanes return 0 with
+    no gradient (double-where guard)."""
+    d = lax.stop_gradient(d)
+    h = jnp.cross(d, e2h)
+    a = jnp.sum(e1h * h, axis=-1)
+    valid = hit & (jnp.abs(lax.stop_gradient(a)) > jnp.float32(1e-12))
+    ac = jnp.where(valid, a, jnp.float32(1.0))
+    s = o - v0h
+    q = jnp.cross(s, e1h)
+    t = jnp.sum(e2h * q, axis=-1) / ac
+    return jnp.where(valid, t, jnp.float32(0.0))
+
+
 def trace_radiance(
     scene: Scene,
     origins: jax.Array,
@@ -95,6 +116,7 @@ def trace_radiance(
     return_aux: bool = False,
     first_hit=None,
     sample_idx=None,
+    vis_residual: bool = False,
 ):
     """Trace ONE sample per ray. Returns ``(radiance (N,3), rng_state)``.
 
@@ -110,11 +132,29 @@ def trace_radiance(
     rays. Camera rays are identical for every sample, so their
     (deterministic) intersection can be hoisted out of the sample loop —
     bit-identical results, one fewer nearest-hit sweep per sample.
+
+    ``vis_residual``: compute ONLY the visibility terms of the vis_grad
+    estimator — the warped-area factor ``term·(C − 1)`` (forward exactly
+    zero, ``C ≡ 1``) and the edge-sampled shadow-boundary term (forward
+    exactly zero by construction). The walk itself runs fully DETACHED
+    (same draws, same hits, same throughput values — every non-vis
+    radiance accumulation is dropped and every throughput update is
+    stop_gradient'ed), while a parallel DIFFERENTIABLE position chain
+    re-derives each hit point from the known hit triangle in O(1) per
+    lane, so the vis terms see the same position/geometry gradients the
+    full wavefront autodiff would. Because the returned radiance is an
+    exact zero, it composes ADDITIVELY around any interior backend:
+    ``grad(fused_interior + residual) == grad(wavefront with vis_grad)``
+    — the decomposition behind ``VisGradFusedRenderer``
+    (models/renderer.py), which runs the interior fwd+bwd on the fused
+    custom-VJP megakernels instead of the 61×-slower wavefront autodiff.
     """
     if cfg.nee and cfg.rng == "lcg":
         raise ValueError("cfg.nee requires rng='threefry' or 'hash'")
     if (cfg.rr_start or cfg.stratify) and cfg.rng == "lcg":
         raise ValueError("rr_start/stratify require rng='threefry'/'hash'")
+    if vis_residual and not cfg.vis_grad:
+        raise ValueError("vis_residual needs cfg.vis_grad")
     n = origins.shape[0]
     if pixel_ids is None:
         pixel_ids = jnp.arange(n, dtype=jnp.uint32)
@@ -132,6 +172,18 @@ def trace_radiance(
         prev_pdf = jnp.zeros(n, jnp.float32)
 
     o, d = origins, directions
+    sg = lax.stop_gradient
+    if vis_residual:
+        # detached walk geometry + a parallel differentiable position
+        # chain (o_diff); the differentiable scene stays live only
+        # through the per-hit gathers the vis terms consume.
+        v0w, v1w, v2w = sg(v0), sg(v1), sg(v2)
+        o_diff = origins
+        o, d = sg(o), sg(d)
+        if first_hit is not None:
+            first_hit = (sg(first_hit[0]), first_hit[1])
+    else:
+        v0w, v1w, v2w = v0, v1, v2
     throughput = jnp.ones((n, 3), jnp.float32)
     radiance = jnp.zeros((n, 3), jnp.float32)
     alive = jnp.ones(n, bool)
@@ -143,7 +195,7 @@ def trace_radiance(
         if bounce == 0 and first_hit is not None:
             dist, idx = first_hit
         else:
-            dist, idx = nearest_hit(o, d, v0, v1, v2, src, cfg)
+            dist, idx = nearest_hit(o, d, v0w, v1w, v2w, src, cfg)
         hit = alive & (idx >= 0)
         safe = jnp.maximum(idx, 0)
         hit3 = hit[:, None]
@@ -173,9 +225,15 @@ def trace_radiance(
             from spath_tpu.ops.warp import reparam_emitter_factor
 
             vis_c = reparam_emitter_factor(
-                o, d, v0h, e1h, e2h, nrm, prev_n, hit)[:, None]
+                o_diff if vis_residual else o, d, v0h, e1h, e2h, nrm,
+                prev_n, hit)[:, None]
         else:
             vis_c = None
+        if vis_residual:
+            # differentiable position chain: re-derive the hit point
+            # from the known hit triangle (O(1)/lane), detached walk
+            dist_diff = _tri_dist(o_diff, d, v0h, e1h, e2h, hit)
+            point_diff = o_diff + dist_diff[:, None] * d
 
         rng_state, us = _bounce_uniforms(
             cfg, rng_state, hit, bounce, pixel_ids, n, sample_idx
@@ -202,7 +260,9 @@ def trace_radiance(
             # emitter hits either carry the MIS partner weight or (pure
             # NEE) are dropped — the area sample covers direct light.
             if bounce == 0:
-                radiance = radiance + jnp.where(hit3, throughput * emi, 0.0)
+                if not vis_residual:
+                    radiance = radiance + jnp.where(
+                        hit3, throughput * emi, 0.0)
             elif use_mis:
                 from spath_tpu.ops.nee import nee_pdf_of_hit
 
@@ -212,15 +272,24 @@ def trace_radiance(
                     prev_pdf * prev_pdf + p_nee_here * p_nee_here, 1e-30
                 )
                 w_b = lax.stop_gradient(w_b)
-                term = throughput * emi * w_b[:, None]
-                if vis_c is not None:
-                    term = term * vis_c
+                if vis_residual:
+                    # residual of term·C: sg(term)·(C − 1) — forward
+                    # exactly 0 (C ≡ 1), backward = term·dC, the exact
+                    # complement of the interior d(term)·C chain
+                    term = sg(throughput * emi * w_b[:, None]) \
+                        * (vis_c - jnp.float32(1.0))
+                else:
+                    term = throughput * emi * w_b[:, None]
+                    if vis_c is not None:
+                        term = term * vis_c
                 radiance = radiance + jnp.where(hit3, term, 0.0)
-            direct = direct_light(
-                scene, point, adj_n, safe, us[2], us[3], us[4], cfg,
-                hit_albedo=alb,
-            )
-            radiance = radiance + jnp.where(hit3, throughput * direct, 0.0)
+            if not vis_residual:
+                direct = direct_light(
+                    scene, point, adj_n, safe, us[2], us[3], us[4], cfg,
+                    hit_albedo=alb,
+                )
+                radiance = radiance + jnp.where(
+                    hit3, throughput * direct, 0.0)
             if cfg.vis_grad:
                 # shadow-boundary (blocker silhouette) gradient: a
                 # forward-exact-0 edge-sampled line-integral term
@@ -230,18 +299,27 @@ def trace_radiance(
 
                 ei = 5 + (1 if cfg.rr_start else 0)
                 bnd = nee_boundary_term(
-                    scene, point, adj_n, alb, safe, us[2],
+                    scene, point_diff if vis_residual else point,
+                    adj_n, alb, safe, us[2],
                     us[ei], us[ei + 1], cfg, hit)
-                radiance = radiance + jnp.where(hit3, throughput * bnd,
-                                                0.0)
+                thr_b = sg(throughput) if vis_residual else throughput
+                radiance = radiance + jnp.where(hit3, thr_b * bnd, 0.0)
         else:
-            term = throughput * emi
-            if vis_c is not None:
-                term = term * vis_c
-            radiance = radiance + jnp.where(hit3, term, 0.0)
+            if vis_residual:
+                if vis_c is not None:
+                    term = sg(throughput * emi) * (vis_c - jnp.float32(1.0))
+                    radiance = radiance + jnp.where(hit3, term, 0.0)
+            else:
+                term = throughput * emi
+                if vis_c is not None:
+                    term = term * vis_c
+                radiance = radiance + jnp.where(hit3, term, 0.0)
         throughput = jnp.where(
             hit3, throughput * alb * weight[:, None], throughput
         )
+        if vis_residual:
+            throughput = sg(throughput)
+            o_diff = jnp.where(hit3, point_diff, o_diff)
 
         o = jnp.where(hit3, point, o)
         d = jnp.where(hit3, next_d, d)
@@ -284,6 +362,7 @@ def trace_mean_radiance(
     seed=0,
     pixel_ids: jax.Array | None = None,
     first_hit=None,
+    vis_residual: bool = False,
 ) -> jax.Array:
     """Average ``cfg.spp`` radiance samples per ray → ``(N, 3)``.
 
@@ -321,18 +400,20 @@ def trace_mean_radiance(
                 scene, origins, directions, cfg, state_s, pixel_ids,
                 first_hit=first_hit,
                 sample_idx=s if cfg.stratify else None,
+                vis_residual=vis_residual,
             )
             new_state = state
         elif cfg.rng == "hash":
             rad, _ = trace_radiance(
                 scene, origins, directions, cfg, state, pixel_ids,
                 first_hit=first_hit, sample_idx=s,
+                vis_residual=vis_residual,
             )
             new_state = state
         else:
             rad, new_state = trace_radiance(
                 scene, origins, directions, cfg, state, pixel_ids,
-                first_hit=first_hit,
+                first_hit=first_hit, vis_residual=vis_residual,
             )
         return (new_state, accum + rad), None
 
@@ -365,6 +446,32 @@ def render_radiance(
     """
     origins, directions = generate_rays(camera, cfg.width, cfg.height)
     mean = trace_mean_radiance(scene, origins, directions, cfg, seed)
+    return mean.reshape(cfg.height, cfg.width, 3)
+
+
+def render_vis_residual(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0
+) -> jax.Array:
+    """The visibility-gradient residual image → ``(H, W, 3)``.
+
+    Forward value is EXACTLY zero; ``jax.grad`` through it yields the
+    warped-area (light silhouette) and edge-sampled (shadow boundary)
+    gradient terms of the vis_grad estimator — the exact complement of
+    the interior gradients the fused custom-VJP megakernels compute, so
+
+        grad(render_radiance_fused_interior + render_vis_residual)
+            == grad(render_radiance with cfg.vis_grad)
+
+    (``trace_radiance(vis_residual=True)`` docstring for the
+    decomposition argument; ``VisGradFusedRenderer`` for the routing).
+    The walk replays detached (one forward-cost pass, no interior tape);
+    only the O(1)-per-lane vis chains are differentiated.
+    """
+    if not cfg.vis_grad:
+        raise ValueError("render_vis_residual needs cfg.vis_grad")
+    origins, directions = generate_rays(camera, cfg.width, cfg.height)
+    mean = trace_mean_radiance(scene, origins, directions, cfg, seed,
+                               vis_residual=True)
     return mean.reshape(cfg.height, cfg.width, 3)
 
 
@@ -450,10 +557,13 @@ def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0,
         return render_pt_fast_sharded(scene, camera, cfg, seed, mesh)
     from spath_tpu.models.renderer import forward_renderer
 
-    # Registry order is the selection policy: fused megakernels
-    # (conformance, then quality, then HBM-streamed), else the
-    # compacted wavefront (models/renderer.py).
-    return forward_renderer(scene, cfg).render(scene, camera, cfg, seed)
+    # Registry order is the selection policy: compacted fused launch
+    # (when this call is NOT being traced — it syncs one host scalar),
+    # fused megakernels (conformance, then quality, then HBM-streamed),
+    # else the compacted wavefront (models/renderer.py).
+    tracing = isinstance(scene.vertices, jax.core.Tracer)
+    r = forward_renderer(scene, cfg, require_jittable=tracing)
+    return r.render(scene, camera, cfg, seed)
 
 
 def render_radiance_fastgrad(

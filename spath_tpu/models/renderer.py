@@ -66,6 +66,9 @@ class Renderer:
     #: False when render() must run OUTSIDE jit (host syncs inside —
     #: it manages its own jitted pieces)
     jittable: bool = True
+    #: False to exclude from automatic selection (explicit --backend /
+    #: viewer-cycle only) — e.g. the native CPU golden
+    auto: bool = True
 
     def describe(self) -> str:
         return self.description or self.name
@@ -116,6 +119,42 @@ class WavefrontRenderer(Renderer):
         return render_radiance(scene, camera, cfg, seed)
 
     render_radiance_grad = render_radiance
+
+
+class VisGradFusedRenderer(Renderer):
+    """Visibility gradients at fused-kernel speed.
+
+    The vis_grad estimator's image is ``interior + vis`` where the vis
+    terms (warped-area factor, edge-sampled boundary term) have forward
+    value EXACTLY zero — so the gradient decomposes additively:
+    interior fwd+bwd on the fused custom-VJP megakernels (61× the
+    wavefront autodiff), plus ``render_vis_residual`` (a detached walk
+    replay differentiating only the O(1)-per-lane vis chains). Same
+    total gradient as the wavefront with ``cfg.vis_grad``, asserted in
+    ``tests/test_vis_residual.py``."""
+
+    name = "visgrad_fused"
+    description = "fused interior VJP + visibility-gradient residual"
+
+    def available(self) -> bool:
+        return _on_accel()
+
+    def supports(self, scene, cfg) -> bool:
+        return False            # forward-only callers don't need vis_grad
+
+    def supports_grad(self, scene, cfg) -> bool:
+        if not (self.available() and cfg.vis_grad):
+            return False
+        interior = grad_renderer(scene, cfg.replace(vis_grad=False))
+        return interior.name not in ("wavefront", "compact")
+
+    def render_radiance_grad(self, scene, camera, cfg, seed=0):
+        from spath_tpu.models.pathtracer import render_vis_residual
+
+        icfg = cfg.replace(vis_grad=False)
+        interior = grad_renderer(scene, icfg).render_radiance_grad(
+            scene, camera, icfg, seed)
+        return interior + render_vis_residual(scene, camera, cfg, seed)
 
 
 class CompactWavefrontRenderer(WavefrontRenderer):
@@ -282,6 +321,35 @@ class BigsceneRenderer(Renderer):
             fast=(cfg.intersect == "pallas_fast"))
 
 
+class CompactFusedRenderer(Renderer):
+    """Bucket-compacted fused megakernel forward: classify camera rays
+    once, launch the fused kernel on the bucket-padded live prefix only
+    (``models/compact_fast.py``). Value-identical to the full fused
+    launch, ~1/(live fraction) faster (1.55× on the default view); one
+    host scalar per frame → not jittable, so callers that wrap
+    ``render_pt_fast`` in ``jax.jit`` route around it
+    (``forward_renderer(require_jittable=True)``)."""
+
+    name = "compact_fused"
+    description = "bucket-compacted fused megakernel (forward serving)"
+    jittable = False
+
+    def available(self) -> bool:
+        return _on_accel()
+
+    def supports(self, scene, cfg) -> bool:
+        from spath_tpu.models import compact_fast
+
+        return self.available() and compact_fast.supported(scene, cfg)
+
+    def render_radiance(self, scene, camera, cfg, seed=0):
+        from spath_tpu.models.compact_fast import (
+            render_radiance_compact_fused,
+        )
+
+        return render_radiance_compact_fused(scene, camera, cfg, seed)
+
+
 class NativeRenderer(Renderer):
     """The C++ CPU runtime — the independent golden (work-stealing
     thread pool, recursive estimator; ``native/spath_native.cpp``)."""
@@ -289,6 +357,7 @@ class NativeRenderer(Renderer):
     name = "native"
     description = "native C++ CPU runtime"
     jittable = False
+    auto = False
 
     def available(self) -> bool:
         from spath_tpu.utils.native import build
@@ -333,10 +402,12 @@ class NativeRenderer(Renderer):
 #: order IS the performance policy: fused kernels, then the streamed
 #: large-scene kernel, then the compacted wavefront (always supported).
 REGISTRY: tuple[Renderer, ...] = (
+    CompactFusedRenderer(),
     MegakernelRenderer(),
     QualityMegakernelRenderer(),
     QualityBigsceneRenderer(),
     BigsceneRenderer(),
+    VisGradFusedRenderer(),
     CompactWavefrontRenderer(),
     WavefrontRenderer(),
     NativeRenderer(),
@@ -356,10 +427,18 @@ def available_renderers() -> list[Renderer]:
     return [r for r in REGISTRY if r.available()]
 
 
-def forward_renderer(scene: Scene, cfg: RenderConfig) -> Renderer:
-    """The fastest backend that renders (scene, cfg) exactly."""
+def forward_renderer(scene: Scene, cfg: RenderConfig,
+                     require_jittable: bool = True) -> Renderer:
+    """The fastest backend that renders (scene, cfg) exactly.
+
+    ``require_jittable``: callers that run the selected backend inside
+    an outer ``jax.jit`` (``render_pt_fast``, the sharded paths) must
+    skip backends with host syncs; unjitted entry points (CLI renders,
+    the viewer frame loop) pass False and pick up the compacted fused
+    path when it applies."""
     for r in REGISTRY:
-        if r.name != "native" and r.supports(scene, cfg):
+        if (r.auto and (r.jittable or not require_jittable)
+                and r.supports(scene, cfg)):
             return r
     return REGISTRY[-2]          # wavefront: supports everything
 
@@ -375,5 +454,6 @@ def grad_renderer(scene: Scene, cfg: RenderConfig) -> Renderer:
 def render_any(scene, camera, cfg: RenderConfig, seed=0,
                backend: str | None = None) -> jax.Array:
     """Clamped render via a named backend, or the auto-selected one."""
-    r = get_renderer(backend) if backend else forward_renderer(scene, cfg)
+    r = get_renderer(backend) if backend else forward_renderer(
+        scene, cfg, require_jittable=False)
     return r.render(scene, camera, cfg, seed)

@@ -354,9 +354,10 @@ def order_rays_live_first(scene, rays, keys, cfg: RenderConfig):
     misclassified lane costs only the skipped-tile saving, never
     correctness.
 
-    Returns ``(rays_p, keys_p, order)``; unpermute outputs with
+    Returns ``(rays_p, keys_p, order, n_live)``; unpermute outputs with
     ``out.at[:, order].set(out_p)`` (or rely on the gather transpose for
-    gradients through ``rays_p``).
+    gradients through ``rays_p``). ``n_live`` (traced int32) counts the
+    live prefix — the compact fused forward slices to it (bucketed).
     """
     from spath_tpu.ops.intersect import nearest_hit
 
@@ -367,7 +368,8 @@ def order_rays_live_first(scene, rays, keys, cfg: RenderConfig):
         o, d, scene.v0, scene.v1, scene.v2, src, cfg)
     miss = lax.stop_gradient(idx < 0).astype(jnp.int32)
     order = jnp.argsort(miss, stable=True)
-    return rays[:, order], keys[:, order], order
+    n_live = jnp.sum(1 - miss).astype(jnp.int32)
+    return rays[:, order], keys[:, order], order, n_live
 
 
 def unpermute_rows(out_p, order):
@@ -412,7 +414,7 @@ def render_radiance_megakernel(scene, camera, cfg: RenderConfig, seed=0):
     if DEAD_TILE_SKIP and rays.shape[1] > TILE_N:
         # live-first ordering: bit-exact, turns scattered miss lanes
         # into whole dead tiles the kernel's pl.when skips
-        rays, seeds, order = order_rays_live_first(scene, rays, seeds, cfg)
+        rays, seeds, order, _ = order_rays_live_first(scene, rays, seeds, cfg)
         out = unpermute_rows(
             mega_call(rays, seeds, tri, cfg, scene.n_tris), order)
     else:

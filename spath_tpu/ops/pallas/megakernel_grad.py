@@ -517,7 +517,7 @@ def render_radiance_mega(scene, camera, cfg: RenderConfig, seed=0):
             unpermute_rows,
         )
 
-        rays, seeds, order = order_rays_live_first(scene, rays, seeds, cfg)
+        rays, seeds, order, _ = order_rays_live_first(scene, rays, seeds, cfg)
         out = unpermute_rows(
             mega_rows(tri, rays, seeds, cfg, scene.n_tris), order)
     else:

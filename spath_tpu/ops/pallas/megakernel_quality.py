@@ -617,7 +617,7 @@ def render_radiance_quality_megakernel(scene, camera, cfg: RenderConfig,
     if DEAD_TILE_SKIP and rays.shape[1] > TILE_N:
         # live-first ordering: bit-exact, coalesces miss lanes into
         # whole dead tiles the kernel's pl.when skips (megakernel.py)
-        rays, keys, order = order_rays_live_first(scene, rays, keys, cfg)
+        rays, keys, order, _ = order_rays_live_first(scene, rays, keys, cfg)
         out = unpermute_rows(
             quality_call(rays, keys, tri, cfg, scene.n_tris,
                          scene.light_idx), order)

@@ -487,7 +487,7 @@ def render_radiance_quality_grad(scene, camera, cfg: RenderConfig, seed=0):
             unpermute_rows,
         )
 
-        rays, keys, order = order_rays_live_first(scene, rays, keys, cfg)
+        rays, keys, order, _ = order_rays_live_first(scene, rays, keys, cfg)
         out = unpermute_rows(
             quality_rows(tri, rays, keys, cfg, scene.n_tris,
                          scene.light_idx), order)

@@ -121,7 +121,8 @@ class ViewerState:
             )
         else:
             # auto slot: fastest supported backend for this config
-            r = (forward_renderer(self.scene, self.cfg)
+            r = (forward_renderer(self.scene, self.cfg,
+                                  require_jittable=False)
                  if self.backend == "jax" else get_renderer(self.backend))
             try:
                 if self.path_tracing:

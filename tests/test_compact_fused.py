@@ -1,0 +1,103 @@
+"""Bucket-compacted fused forward == the full fused launch, exactly.
+
+The compacted path drops only certified camera-miss lanes (whose
+radiance is exactly the zero background it reads back) and permutes the
+rest with their per-pixel RNG ids, so its output must be bit-identical
+to the full fused render — not merely close (``models/compact_fast.py``).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from spath_tpu.camera import Camera
+from spath_tpu.config import RenderConfig
+from spath_tpu.models.compact_fast import (
+    make_compact_plan,
+    render_radiance_compact_fused,
+    supported,
+)
+
+
+def _cfg(**kw):
+    base = dict(width=48, height=32, spp=2, max_bounces=3,
+                rng="lcg", sampler="angle", intersect="pluecker")
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def _full(scene, cam, cfg, seed):
+    if cfg.rng == "hash":
+        from spath_tpu.ops.pallas.megakernel_quality import (
+            render_radiance_quality_megakernel,
+        )
+
+        return render_radiance_quality_megakernel(scene, cam, cfg, seed)
+    from spath_tpu.ops.pallas.megakernel import render_radiance_megakernel
+
+    return render_radiance_megakernel(scene, cam, cfg, seed)
+
+
+@pytest.mark.parametrize("quality", [False, True])
+@pytest.mark.parametrize("pad_multiple", [1024, 4096])
+def test_compact_matches_full_fused(scene7, quality, pad_multiple):
+    cfg = _cfg(rng="hash", sampler="cosine", nee=True,
+               mis=True) if quality else _cfg()
+    cam = Camera.default()
+    assert supported(scene7, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(_full(scene7, cam, cfg, 5))
+        got = np.asarray(render_radiance_compact_fused(
+            scene7, cam, cfg, 5, pad_multiple=pad_multiple))
+    assert (got == want).all(), np.abs(got - want).max()
+
+
+def test_compact_plan_reused_across_seeds(scene7):
+    """The plan is seed-independent: one plan, different frame seeds,
+    each bit-equal to its full fused render."""
+    cfg = _cfg()
+    cam = Camera.default()
+    plan = make_compact_plan(scene7, cam, cfg, pad_multiple=1024)
+    with pltpu.force_tpu_interpret_mode():
+        for seed in (1, 9):
+            want = np.asarray(_full(scene7, cam, cfg, seed))
+            got = np.asarray(render_radiance_compact_fused(
+                scene7, cam, cfg, seed, plan=plan))
+            assert (got == want).all(), seed
+
+
+def test_compact_all_dead_view(scene7):
+    """Camera turned away: every lane misses → exact zeros, no launch."""
+    cfg = _cfg()
+    cam = Camera.default().rotate_by(
+        jnp.array([0.0, np.float32(np.pi), 0.0], jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(render_radiance_compact_fused(scene7, cam, cfg, 1))
+    assert got.shape == (cfg.height, cfg.width, 3)
+    assert (got == 0.0).all()
+
+
+def test_compact_actually_compacts(scene7):
+    """The default view has dead lanes to drop (sanity of the premise)
+    and the bucketing launches fewer lanes than the frame."""
+    cfg = _cfg()
+    plan = make_compact_plan(scene7, Camera.default(), cfg,
+                             pad_multiple=1024)
+    total = plan.rays_p.shape[1]
+    assert 0 < plan.n_live < total
+    assert plan.padded < total
+    assert plan.padded % 1024 == 0
+
+
+def test_registry_routing(scene7):
+    """compact_fused is first for unjitted forward selection, skipped
+    when the caller requires a jittable backend."""
+    from spath_tpu.models.renderer import forward_renderer, get_renderer
+
+    r = get_renderer("compact_fused")
+    assert not r.jittable and r.auto
+    cfg = _cfg()
+    jit_r = forward_renderer(scene7, cfg, require_jittable=True)
+    assert jit_r.jittable
