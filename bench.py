@@ -227,6 +227,16 @@ def main():
         if r and "conformance" in name:
             bwd_rays = max(bwd_rays, r)
 
+    # --- visibility (silhouette) gradients on the fused path: quality
+    # interior custom-VJP + forward-zero vis residual. spp4: the
+    # wavefront autodiff OOMs a v5e at 1080p even at spp4; the fused
+    # decomposition runs it (docs/PERFORMANCE.md round 3).
+    vcfg = qcfg.replace(spp=4, vis_grad=True)
+    n_v = vcfg.width * vcfg.height * vcfg.spp * vcfg.max_bounces
+    b = make_bwd(render_radiance_fastgrad, vcfg)
+    bench.run("fwd+bwd quality+visgrad 1080p spp4 [fused+residual]",
+              lambda: b(scene, cam), n=2, rays=n_v)
+
     # --- stress scenes (BASELINE config 4: 10k-100k tris, 1080p,
     # fwd AND fwd+bwd) via the HBM-streamed fused megakernels. The
     # kernels are compute-bound (O(rays·tris) MXU work), so the rays/s
