@@ -61,13 +61,23 @@ class CompactPlan(NamedTuple):
     padded: int            # bucketed kernel lane count
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _classify(scene, camera, cfg: RenderConfig):
-    """Pack + classify + live-first permute (no sort, no scatter)."""
+@partial(jax.jit, static_argnames=("cfg", "lane_multiple"))
+def _classify(scene, camera, cfg: RenderConfig, lane_multiple: int):
+    """Pack + classify + live-first permute (no sort, no scatter).
+
+    Classification uses the XLA ``nearest_hit`` with the config's own
+    ε semantics. The fused kernels re-derive hits with their own
+    formulations (SMEM scalar MT walk / streamed K-packed Plücker), so
+    a grazing ray a few ulps from an ε bound could in principle
+    classify differently — the conformance suites (u8-exact at
+    640×480, bit-exact compact-vs-full in test_compact_fused.py) pin
+    that the hit SETS agree on every tested view, and a flipped lane
+    costs one pixel of background, the same flip budget the kernels
+    already accept against the wavefront."""
     from spath_tpu.ops.intersect import nearest_hit
     from spath_tpu.ops.pallas.megakernel import pack_rays
 
-    rays, pix, _ = pack_rays(camera, cfg, 0)
+    rays, pix, _ = pack_rays(camera, cfg, 0, lane_multiple=lane_multiple)
     o = rays[0:3, :].T
     d = rays[3:6, :].T
     src = jnp.full(o.shape[0], -1, jnp.int32)
@@ -89,14 +99,35 @@ def _classify(scene, camera, cfg: RenderConfig):
     return rays_p, pix_p, inv, n_live
 
 
-def make_compact_plan(scene, camera, cfg: RenderConfig,
-                      pad_multiple: int = PAD_MULTIPLE) -> CompactPlan:
+def _lane_multiple(kernel: str) -> int:
+    if kernel == "bigscene":
+        from spath_tpu.ops.pallas.megakernel_bigscene import TILE_R
+
+        return TILE_R
+    if kernel == "bigscene_quality":
+        from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+            TILE_RQ,
+        )
+
+        return TILE_RQ
     from spath_tpu.ops.pallas.megakernel import TILE_N
 
-    rays_p, pix_p, inv, n_live = _classify(scene, camera, cfg)
+    return TILE_N
+
+
+def make_compact_plan(scene, camera, cfg: RenderConfig,
+                      pad_multiple: int = PAD_MULTIPLE,
+                      kernel: str | None = None) -> CompactPlan:
+    if kernel is None:
+        kernel = _select_kernel(scene, cfg)
+    if kernel is None:
+        raise ValueError("no fused megakernel covers this (scene, cfg)")
+    lanes = _lane_multiple(kernel)
+    rays_p, pix_p, inv, n_live = _classify(scene, camera, cfg, lanes)
     n_live = int(n_live)                  # the one host scalar
     total = rays_p.shape[1]
-    bucket = max(min(pad_multiple, total), TILE_N)
+    bucket = max(min(pad_multiple, total), lanes)
+    bucket = -(-bucket // lanes) * lanes  # whole kernel tiles
     padded = min(-(-max(n_live, 1) // bucket) * bucket, total)
     return CompactPlan(rays_p, pix_p, inv, n_live, padded)
 
@@ -106,6 +137,7 @@ def _run(scene, rays_p, pix_p, inv, seed, cfg: RenderConfig,
          padded: int, kernel: str):
     """One fused launch on the live prefix + gather back to pixels."""
     rays_c = rays_p[:, :padded]
+    fast = cfg.intersect == "pallas_fast"
     if kernel == "quality":
         from spath_tpu.ops.pallas.megakernel_quality import (
             _GOLD,
@@ -119,6 +151,29 @@ def _run(scene, rays_p, pix_p, inv, seed, cfg: RenderConfig,
                   + pix_p[:, :padded])
         rows = quality_call(rays_c, keys_c, quality_table(scene), cfg,
                             scene.n_tris, scene.light_idx)
+    elif kernel == "bigscene_quality":
+        from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+            bigq_rows,
+            bigscene_quality_tables,
+        )
+        from spath_tpu.ops.pallas.megakernel_quality import _GOLD
+
+        keys_c = (jnp.asarray(seed).astype(jnp.uint32) * _GOLD
+                  + pix_p[:, :padded])
+        gfeat, attrs, ltab, n_blocks, n_lights = \
+            bigscene_quality_tables(scene)
+        rows = bigq_rows(gfeat, attrs, ltab, rays_c, keys_c, cfg,
+                         n_blocks, n_lights, fast)
+    elif kernel == "bigscene":
+        from spath_tpu.ops.pallas.megakernel_bigscene import (
+            bigscene_call,
+            bigscene_tables,
+        )
+
+        keys_c = pix_p[:, :padded] + jnp.asarray(seed).astype(jnp.uint32)
+        gfeat, attrs, n_blocks = bigscene_tables(scene)
+        rows = bigscene_call(rays_c, keys_c, gfeat, attrs, cfg,
+                             n_blocks, fast)
     else:
         from spath_tpu.ops.pallas.megakernel import _scene_table, mega_call
 
@@ -137,24 +192,33 @@ def _run(scene, rays_p, pix_p, inv, seed, cfg: RenderConfig,
 
 def _select_kernel(scene, cfg: RenderConfig) -> str | None:
     from spath_tpu.models.renderer import SMEM_ROUTE_MAX_TRIS
-    from spath_tpu.ops.pallas import megakernel, megakernel_quality
+    from spath_tpu.ops.pallas import (
+        megakernel,
+        megakernel_bigscene,
+        megakernel_bigscene_quality,
+        megakernel_quality,
+    )
 
-    if scene.n_tris > SMEM_ROUTE_MAX_TRIS:
-        return None
-    if megakernel.supported(scene, cfg):
-        return "conformance"
-    if megakernel_quality.supported(scene, cfg):
-        return "quality"
+    if scene.n_tris <= SMEM_ROUTE_MAX_TRIS:
+        if megakernel.supported(scene, cfg):
+            return "conformance"
+        if megakernel_quality.supported(scene, cfg):
+            return "quality"
+    # large scenes: the HBM-streamed kernels (registry routing order)
+    if megakernel_bigscene_quality.supported(scene, cfg):
+        return "bigscene_quality"
+    if megakernel_bigscene.supported(scene, cfg):
+        return "bigscene"
     return None
 
 
 def supported(scene, cfg: RenderConfig) -> bool:
-    """True when a fused SMEM megakernel covers (scene, cfg) and the
-    frame spans multiple tiles (else compaction can't drop anything)."""
-    from spath_tpu.ops.pallas.megakernel import TILE_N
-
-    return (_select_kernel(scene, cfg) is not None
-            and cfg.width * cfg.height > TILE_N)
+    """True when a fused megakernel (SMEM or HBM-streamed) covers
+    (scene, cfg) and the frame spans multiple tiles (else compaction
+    can't drop anything)."""
+    kernel = _select_kernel(scene, cfg)
+    return (kernel is not None
+            and cfg.width * cfg.height > _lane_multiple(kernel))
 
 
 #: tiny plan cache keyed by pytree object identity — Scene/Camera are

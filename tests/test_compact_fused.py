@@ -54,6 +54,50 @@ def test_compact_matches_full_fused(scene7, quality, pad_multiple):
     assert (got == want).all(), np.abs(got - want).max()
 
 
+def _streamed_scene():
+    import numpy as np
+
+    from spath_tpu.scene import default_scene, make_scene, procedural_scene
+
+    base = default_scene()
+    proc = procedural_scene(250, seed=0, emissive_fraction=0.05)
+    return make_scene(
+        np.concatenate([np.asarray(base.vertices),
+                        np.asarray(proc.vertices)]),
+        np.concatenate([np.asarray(base.albedo), np.asarray(proc.albedo)]),
+        np.concatenate([np.asarray(base.emission),
+                        np.asarray(proc.emission)]),
+    )
+
+
+@pytest.mark.parametrize("quality", [False, True])
+def test_compact_matches_streamed_fused(quality):
+    """Above the SMEM route the compact path launches the HBM-streamed
+    kernels on the live prefix — still bit-exact vs the full launch."""
+    from spath_tpu.models.compact_fast import _select_kernel
+    from spath_tpu.ops.pallas.megakernel_bigscene import (
+        render_radiance_bigscene,
+    )
+    from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+        render_radiance_bigscene_quality,
+    )
+
+    scene = _streamed_scene()
+    cfg = _cfg(width=32, height=32, rng="hash", sampler="cosine",
+               nee=True, mis=True) if quality else _cfg(width=32,
+                                                        height=32)
+    kernel = _select_kernel(scene, cfg)
+    assert kernel == ("bigscene_quality" if quality else "bigscene")
+    full = (render_radiance_bigscene_quality if quality
+            else render_radiance_bigscene)
+    cam = Camera.default()
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(full(scene, cam, cfg, 3))
+        got = np.asarray(render_radiance_compact_fused(
+            scene, cam, cfg, 3, pad_multiple=512))
+    assert (got == want).all(), np.abs(got - want).max()
+
+
 def test_compact_plan_reused_across_seeds(scene7):
     """The plan is seed-independent: one plan, different frame seeds,
     each bit-equal to its full fused render."""
