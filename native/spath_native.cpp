@@ -20,6 +20,7 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <thread>
 #include <vector>
 
@@ -94,11 +95,23 @@ inline int nearest(const Ray& r, const std::vector<Tri>& tris, int src,
   return best;
 }
 
+// RNG functors (frand.h semantics): the stateless-per-stream LCG the
+// GPU kernels use, and the global-state std::rand wrapper of the
+// single-threaded debug path (frand.h:26-30).
+struct LcgRng {
+  uint32_t seed;
+  double operator()() { return lcg_next(seed); }
+};
+struct BasicRng {
+  double operator()() { return 1.0 * std::rand() / RAND_MAX; }
+};
+
 // Angle-uniform hemisphere sample (geom.h:164-177 semantics): azimuth
 // u1*2pi, elevation u2*pi/2, flipped into the normal's hemisphere.
-inline Vec3 sample_hemisphere(Vec3 n, uint32_t& seed) {
-  float az = float(lcg_next(seed) * kPi * 2.0);
-  float el = float(lcg_next(seed) * kPi * 0.5);
+template <class R>
+inline Vec3 sample_hemisphere(Vec3 n, R& rng) {
+  float az = float(rng() * kPi * 2.0);
+  float el = float(rng() * kPi * 0.5);
   float fx = std::cos(el);
   Vec3 out{std::cos(az) * fx, std::sin(el), std::sin(az) * fx};
   if (n.dot(out) < 0.0f) return out * -1.0f;
@@ -114,18 +127,19 @@ struct Scene {
 // Scalar recursive radiance (cpu_renderer.cpp:30-68 semantics): depth
 // cap returns black; p = 1/(2pi); BRDF = albedo/pi; L = emit +
 // BRDF * L_next * cos_theta / p.
+template <class R>
 Vec3 radiance(const Scene& sc, const Ray& r, int src, int depth,
-              int max_depth, uint32_t& seed) {
+              int max_depth, R& rng) {
   if (depth >= max_depth) return {};
   float d;
   int idx = nearest(r, sc.tris, src, d);
   if (idx < 0) return {};
   Vec3 n = sc.tris[idx].n;
   if (n.dot(r.dir) > 0.0f) n = n * -1.0f;
-  Ray next{r.pos + r.dir * d, sample_hemisphere(n, seed)};
+  Ray next{r.pos + r.dir * d, sample_hemisphere(n, rng)};
   float cos_theta = next.dir.dot(n);
   Vec3 brdf = sc.albedo[idx] * float(1.0 / kPi);
-  Vec3 rec = radiance(sc, next, idx, depth + 1, max_depth, seed);
+  Vec3 rec = radiance(sc, next, idx, depth + 1, max_depth, rng);
   float inv_p = float(kPi * 2.0);
   return sc.emission[idx] + brdf.mul(rec) * (cos_theta * inv_p);
 }
@@ -250,10 +264,10 @@ void sp_render_pt(int w, int h, const float* verts, const float* albedo,
   Camera c(cam, w, h);
   parallel_for(w * h, 64, [&](int px) {
     Ray r = c.ray(px % w, px / w);
-    uint32_t seed = uint32_t(px) + seed_offset;
+    LcgRng rng{uint32_t(px) + seed_offset};
     Vec3 acc;
     for (int s = 0; s < spp; ++s)
-      acc = acc + radiance(sc, r, -1, 0, max_bounces, seed);
+      acc = acc + radiance(sc, r, -1, 0, max_bounces, rng);
     acc = acc * float(1.0 / double(spp));
     auto clamp01 = [](float v) {
       return v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
@@ -262,6 +276,34 @@ void sp_render_pt(int w, int h, const float* verts, const float* albedo,
     out[px * 3 + 1] = clamp01(acc.y);
     out[px * 3 + 2] = clamp01(acc.z);
   });
+}
+
+// Sequential single-thread path trace with the basic_dist RNG
+// (frand.h:26-30 + cpu_renderer.cpp:105-116 semantics): ONE shared
+// glibc std::rand() stream consumed in pixel-major, sample-major walk
+// order — the reference's render_pt debug path, which never calls
+// srand (process default = srand(1)). srand_seed=1 reproduces that.
+void sp_render_pt_basic(int w, int h, const float* verts,
+                        const float* albedo, const float* emission,
+                        int n_tris, int spp, int max_bounces,
+                        uint32_t srand_seed, const float* cam, float* out) {
+  Scene sc = build_scene(verts, albedo, emission, n_tris);
+  Camera c(cam, w, h);
+  std::srand(srand_seed);
+  BasicRng rng;
+  auto clamp01 = [](float v) {
+    return v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
+  };
+  for (int px = 0; px < w * h; ++px) {
+    Ray r = c.ray(px % w, px / w);
+    Vec3 acc;
+    for (int s = 0; s < spp; ++s)
+      acc = acc + radiance(sc, r, -1, 0, max_bounces, rng);
+    acc = acc * float(1.0 / double(spp));
+    out[px * 3] = clamp01(acc.x);
+    out[px * 3 + 1] = clamp01(acc.y);
+    out[px * 3 + 2] = clamp01(acc.z);
+  }
 }
 
 }  // extern "C"

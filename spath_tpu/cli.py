@@ -60,11 +60,16 @@ def _add_common(p: argparse.ArgumentParser):
                    default="conformance",
                    help="conformance = reference LCG+angle sampler; "
                         "quality = cosine+NEE (counter-based RNG)")
-    p.add_argument("--rng", choices=["hash", "threefry"], default="hash",
+    p.add_argument("--rng", choices=["hash", "threefry", "table"],
+                   default="hash",
                    help="quality-mode RNG: 'hash' (default — enables the "
                         "fused quality megakernels) or 'threefry' "
                         "(jax.random). Conformance mode is always the "
-                        "reference LCG.")
+                        "reference LCG, except '--rng table' which swaps "
+                        "in the reference's vec_dist shuffled-table "
+                        "debug RNG (src/frand.h:32-50) — like the "
+                        "reference's own debug swap, it pairs with the "
+                        "plain estimator (conformance mode only).")
     p.add_argument("--intersect",
                    choices=["reference", "pluecker", "pallas", "pallas_fast"],
                    default=None,
@@ -115,6 +120,10 @@ def _build(args):
     )
     w, h = args.size
     if args.mode == "quality":
+        if getattr(args, "rng", "hash") == "table":
+            raise SystemExit(
+                "--rng table is a conformance-mode debug RNG (quality "
+                "mode's NEE needs a counter-based stream)")
         cfg = RenderConfig(
             width=w, height=h, spp=args.spp, max_bounces=args.bounces,
             rng=getattr(args, "rng", "hash"), sampler="cosine", nee=True,
@@ -129,7 +138,9 @@ def _build(args):
                 "conformance LCG stream layout has no slot for them)")
         cfg = RenderConfig(
             width=w, height=h, spp=args.spp, max_bounces=args.bounces,
-            rng="lcg", sampler="angle",
+            rng="table" if getattr(args, "rng", "hash") == "table"
+            else "lcg",
+            sampler="angle",
             intersect=args.intersect or "pluecker",
         )
     return scene, cam, cfg

@@ -41,7 +41,15 @@ class RenderConfig:
         draw, and implementable verbatim inside Pallas kernels so the
         fused quality megakernel draws the same randoms as the XLA
         wavefront. Both "threefry" and "hash" are sharding-invariant
-        (streams keyed by global pixel id).
+        (streams keyed by global pixel id). "table" is the reference's
+        ``vec_dist`` debug RNG (``src/frand.h:32-50``): the bit-exact
+        libstdc++ shuffled table of ``table_size + 1`` evenly spaced
+        values rides on-device and each pixel cycles it from a cursor at
+        its global pixel id (the per-pixel-stream adaptation of the
+        shared sequential cursor — same adaptation the reference makes
+        for ``seed_dist`` in ``src/render.cl:233``).
+      table_size: ``max_values`` of the ``vec_dist`` table ("table" RNG
+        only; reference debug value 1000, ``src/cpu_renderer.cpp:146``).
       sampler: "angle" is the reference's angle-uniform hemisphere sampler
         (``src/geom.h:164-177`` — NOT cosine weighted; paired with the
         reference's p = 1/(2π) it is a *biased* estimator, reproduced
@@ -106,7 +114,7 @@ class RenderConfig:
     height: int = 480
     spp: int = 128
     max_bounces: int = 5
-    rng: Literal["lcg", "threefry", "hash"] = "lcg"
+    rng: Literal["lcg", "threefry", "hash", "table"] = "lcg"
     sampler: Literal["angle", "cosine", "uniform"] = "angle"
     intersect: Literal[
         "reference", "pluecker", "pallas", "pallas_fast"
@@ -116,6 +124,7 @@ class RenderConfig:
     rr_start: int = 0
     stratify: bool = False
     vis_grad: bool = False
+    table_size: int = 1000
     remat: bool = True
     tri_block: int = 512
     ray_tile: int = 2048

@@ -73,6 +73,14 @@ def _bounce_uniforms(cfg, rng_state, hit, bounce, pixel_ids, n,
         s2, u2 = lcg_next(s1)
         new_state = jnp.where(hit, s2, rng_state)
         return new_state, jnp.stack([u1, u2])
+    if cfg.rng == "table":
+        from spath_tpu.ops.rng import device_table, table_uniforms
+
+        table = jnp.asarray(device_table(cfg.table_size))
+        s = 0 if sample_idx is None else sample_idx
+        return rng_state, table_uniforms(
+            table, pixel_ids, s, bounce, 2, cfg.max_bounces,
+            offset=rng_state)
     n_draws = (5 if cfg.nee else 2) + (1 if cfg.rr_start else 0) \
         + (2 if (cfg.vis_grad and cfg.nee) else 0)
     if cfg.rng == "hash":
@@ -149,9 +157,9 @@ def trace_radiance(
     (models/renderer.py), which runs the interior fwd+bwd on the fused
     custom-VJP megakernels instead of the 61×-slower wavefront autodiff.
     """
-    if cfg.nee and cfg.rng == "lcg":
+    if cfg.nee and cfg.rng in ("lcg", "table"):
         raise ValueError("cfg.nee requires rng='threefry' or 'hash'")
-    if (cfg.rr_start or cfg.stratify) and cfg.rng == "lcg":
+    if (cfg.rr_start or cfg.stratify) and cfg.rng in ("lcg", "table"):
         raise ValueError("rr_start/stratify require rng='threefry'/'hash'")
     if vis_residual and not cfg.vis_grad:
         raise ValueError("vis_residual needs cfg.vis_grad")
@@ -386,7 +394,7 @@ def trace_mean_radiance(
     if cfg.rng == "lcg":
         # Per-pixel streams seeded by pixel index (src/render.cl:233).
         state0 = pixel_ids.astype(jnp.uint32) + jnp.uint32(seed)
-    elif cfg.rng == "hash":
+    elif cfg.rng in ("hash", "table"):
         # Stateless counter streams: state is just the frame seed.
         state0 = jnp.asarray(seed).astype(jnp.uint32)
     else:
@@ -403,7 +411,7 @@ def trace_mean_radiance(
                 vis_residual=vis_residual,
             )
             new_state = state
-        elif cfg.rng == "hash":
+        elif cfg.rng in ("hash", "table"):
             rad, _ = trace_radiance(
                 scene, origins, directions, cfg, state, pixel_ids,
                 first_hit=first_hit, sample_idx=s,

@@ -21,21 +21,31 @@ Two modes:
     per (pixel, sample, bounce) via ``fold_in``, the TPU-native equivalent
     of the ledger item "RNG becomes stateless counter-based threefry".
 
-Deliberately NOT reproduced (SURVEY.md C5/C6):
+Reference parity for the other two RNG functors (SURVEY.md C5/C6):
 
   * ``basic_dist`` (``src/frand.h:26-30``) wraps global-state
-    ``std::rand()`` with the process-default seed — its stream depends on
-    libc, link order, and whatever else called ``rand()``, so it is not a
-    stable golden on ANY machine (the reference itself only uses it in the
-    single-threaded debug path, ``src/cpu_renderer.cpp:105-116``). A
-    global-state RNG is also unimplementable under SPMD tracing without
-    serializing every lane. Conformance mode is the LCG above — the
+    ``std::rand()`` with the process-default seed. ``std::rand`` is
+    implementation-defined, but the reference's only build target is
+    gcc/Linux, where it is glibc's TYPE_3 additive-feedback generator —
+    a deterministic algorithm reproduced bit-exactly by ``GlibcRand``
+    below (validated against the host libc via ctypes in
+    ``tests/test_rng_conformance.py``). A single global-state stream is
+    inherently sequential (unusable under SPMD tracing), exactly like
+    the reference's own single-threaded ``render_pt`` debug path
+    (``src/cpu_renderer.cpp:105-116``) that is its sole user — so it is
+    provided as the host-side golden for the sequential oracle renderer,
+    not as a device mode. Device conformance mode remains the LCG — the
     scheme the reference's own GPU kernels use.
-  * ``vec_dist`` (``src/frand.h:32-50``) — the pre-shuffled-table debug
-    RNG — exists host-side as ``TableRng`` below for debugging parity,
-    but is not a device mode: it relies on ``std::random_shuffle``
-    (removed in C++17) with unspecified engine behavior, so its exact
-    stream is not reproducible across toolchains either.
+  * ``vec_dist`` (``src/frand.h:32-50``) — the pre-shuffled-table RNG.
+    The shuffle is ``std::random_shuffle`` (removed in C++17), which on
+    the reference's toolchain (libstdc++) is forward Fisher–Yates with
+    ``std::rand() % (i + 1)`` — so with ``GlibcRand`` the exact table is
+    reproducible: ``vec_dist_table`` below builds it bit-exactly
+    (validated against a compiled C++14 oracle in the tests). ``rng=
+    "table"`` is also a device mode: the table rides on-device and each
+    pixel's cursor starts at its global pixel id (the same
+    stream-per-pixel adaptation the reference itself makes for
+    ``seed_dist`` in ``render.cl:233``), making it sharding-independent.
 """
 
 from __future__ import annotations
@@ -90,29 +100,115 @@ def threefry_uniform(key: jax.Array, shape, lo=0.0, hi=1.0):
     return jax.random.uniform(key, shape, jnp.float32, lo, hi)
 
 
-class TableRng:
-    """The reference's ``vec_dist`` debug RNG (``src/frand.h:32-50``):
-    ``max_values + 1`` evenly spaced values in [0, 1], shuffled once,
-    then cycled. A deterministic low-discrepancy-ish stream the
-    reference swapped in while debugging (``src/cpu_renderer.cpp:146``);
-    provided for the same purpose (host-side debugging of samplers and
-    the oracle — not a device RNG mode).
+class GlibcRand:
+    """Bit-exact glibc ``rand()`` — the stream behind the reference's
+    ``basic_dist`` (``src/frand.h:26-30``) on its gcc/Linux build target.
 
-    The reference shuffles with ``std::random_shuffle`` (removed in
-    C++17, unspecified engine); we use a seeded NumPy shuffle — the
-    *structure* (fixed table, cycling cursor) is the reproduced
-    semantic, not the exact permutation.
+    glibc's default generator (TYPE_3) is an additive-feedback LFSR over
+    a 31-entry int32 table seeded by a Park–Miller LCG; the classic
+    closed form (equivalent to the fptr/rptr pointer walk in
+    ``stdlib/random_r.c``)::
+
+        r[0]     = seed                       (srand(0) acts as srand(1))
+        r[1..30] = 16807 * r[i-1] mod 2^31-1
+        r[31..33]= r[i-31]
+        r[i>=34] = r[i-3] + r[i-31]  (mod 2^32)
+        output_k = r[344 + k] >> 1            (first 310 outputs discarded)
+
+    Validated draw-for-draw against the host libc via ctypes
+    (``tests/test_rng_conformance.py``). The process-default stream the
+    reference actually consumes (it never calls ``srand``) is seed 1.
     """
 
-    def __init__(self, max_values: int, seed: int = 0):
-        import numpy as _np
+    RAND_MAX = 2147483647
 
-        step = 1.0 / max_values
-        vals = _np.arange(max_values + 1) * step
-        vals[-1] = 1.0
-        rng = _np.random.Generator(_np.random.Philox(seed))
-        rng.shuffle(vals)
-        self._values = vals
+    def __init__(self, seed: int = 1):
+        seed = int(seed) & 0xFFFFFFFF
+        if seed == 0:
+            seed = 1
+        r = [0] * 34
+        # The seeding LCG runs on int32 (negative intermediates possible
+        # for seeds >= 2^31 via Schrage); plain modular form is exact for
+        # the positive int32 range and matches Schrage there.
+        word = seed if seed < 0x80000000 else seed - 0x100000000
+        r[0] = word & 0xFFFFFFFF
+        for i in range(1, 31):
+            hi, lo = divmod(word, 127773) if word >= 0 else (
+                -((-word) // 127773), -((-word) % 127773))
+            word = 16807 * lo - 2836 * hi
+            if word < 0:
+                word += 2147483647
+            r[i] = word
+        for i in range(31, 34):
+            r[i] = r[i - 31]
+        self._r = r
+        self._i = 34
+        for _ in range(310):            # glibc discards 10*31 outputs
+            self._step()
+
+    def _step(self) -> int:
+        r, i = self._r, self._i
+        v = (r[i - 3] + r[i - 31]) & 0xFFFFFFFF
+        r.append(v)
+        self._i = i + 1
+        if self._i > 400:               # keep the window bounded
+            del r[: self._i - 34]
+            self._i = 34
+        return v >> 1
+
+    def rand(self) -> int:
+        """One ``std::rand()`` draw in [0, RAND_MAX]."""
+        return self._step()
+
+    def __call__(self) -> float:
+        """One ``basic_dist`` draw: ``1.0 * rand() / RAND_MAX`` in double
+        (``src/frand.h:28``)."""
+        return self.rand() / float(self.RAND_MAX)
+
+
+def vec_dist_table(max_values: int, rand: "GlibcRand | None" = None):
+    """The exact ``vec_dist`` table (``src/frand.h:36-43``) as built on
+    the reference's toolchain: ``max_values`` evenly spaced doubles
+    ``step*i`` plus a trailing 1.0, permuted by libstdc++'s
+    ``std::random_shuffle`` — forward Fisher–Yates drawing
+    ``std::rand() % (i + 1)`` (``bits/stl_algo.h``; validated against a
+    compiled C++14 oracle in ``tests/test_rng_conformance.py``).
+
+    ``rand`` defaults to the process-default glibc stream (seed 1).
+    Returns a float64 numpy array of length ``max_values + 1``.
+    """
+    rand = rand if rand is not None else GlibcRand(1)
+    step = 1.0 / max_values
+    vals = [step * i for i in range(max_values)] + [1.0]
+    for i in range(1, len(vals)):
+        j = rand.rand() % (i + 1)
+        if i != j:
+            vals[i], vals[j] = vals[j], vals[i]
+    return np.asarray(vals, np.float64)
+
+
+class TableRng:
+    """The reference's ``vec_dist`` RNG (``src/frand.h:32-50``):
+    ``max_values + 1`` evenly spaced values in [0, 1], shuffled once,
+    then cycled. Host-side stateful form (the device form is
+    ``cfg.rng='table'`` — see ``table_uniforms``).
+
+    With ``exact=True`` (default) the permutation is the bit-exact
+    libstdc++ ``std::random_shuffle`` table via ``vec_dist_table``;
+    ``exact=False`` keeps the round-1 seeded-NumPy shuffle for
+    experiments that want a different permutation per seed.
+    """
+
+    def __init__(self, max_values: int, seed: int = 1, exact: bool = True):
+        if exact:
+            self._values = vec_dist_table(max_values, GlibcRand(seed))
+        else:
+            step = 1.0 / max_values
+            vals = np.arange(max_values + 1) * step
+            vals[-1] = 1.0
+            rng = np.random.Generator(np.random.Philox(seed))
+            rng.shuffle(vals)
+            self._values = vals
         self._next = 0
 
     def __call__(self) -> float:
@@ -192,6 +288,48 @@ def hash_uniform(seed, pixel, sample, bounce, draw):
     """
     bits = hash_u32(seed, pixel, sample, bounce, draw) >> np.uint32(8)
     return bits.astype(jnp.int32).astype(jnp.float32) * np.float32(2.0**-24)
+
+
+def device_table(max_values: int) -> np.ndarray:
+    """Cached float32 ``vec_dist`` table for the device "table" RNG mode.
+
+    Built once per size on the host (the exact libstdc++ permutation,
+    seed-1 glibc stream) and embedded as a compile-time constant.
+    """
+    return _device_table_cached(int(max_values))
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _device_table_cached(max_values: int) -> np.ndarray:
+    return vec_dist_table(max_values).astype(np.float32)
+
+
+def table_uniforms(table: jax.Array, pixel_ids, sample, bounce,
+                   n_draws: int, max_bounces: int, offset=0):
+    """Device-mode ``vec_dist`` draws: ``(n_draws, N)`` float32.
+
+    The reference's ``vec_dist`` is one shared sequential cursor — a
+    serialization point no SPMD program can reproduce literally. The
+    adaptation mirrors the one the reference itself makes for its GPU
+    kernels' ``seed_dist`` (per-pixel streams keyed by pixel id,
+    ``src/render.cl:233``): pixel ``p``'s k-th draw reads
+    ``table[(p + o + k) % len(table)]`` where ``k`` counts draws in walk
+    order ``(sample, bounce, draw)`` and ``o`` is the frame seed offset.
+    Stateless in (pixel, counters), so renders are bit-identical under
+    any sharding of the wavefront.
+    """
+    n = table.shape[0]
+    k0 = (jnp.asarray(sample, jnp.uint32) * jnp.uint32(max_bounces)
+          + jnp.asarray(bounce, jnp.uint32)) * jnp.uint32(n_draws)
+    base = pixel_ids.astype(jnp.uint32) + jnp.asarray(offset, jnp.uint32)
+    us = []
+    for d in range(n_draws):
+        cursor = (base + k0 + jnp.uint32(d)) % jnp.uint32(n)
+        us.append(jnp.take(table, cursor.astype(jnp.int32), axis=0))
+    return jnp.stack(us)
 
 
 def hash_uniforms(seed, pixel_ids, sample, bounce, n_draws: int):

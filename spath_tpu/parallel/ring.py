@@ -234,7 +234,7 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
 
     if cfg.rng == "lcg":
         state0 = pixel_ids.astype(jnp.uint32) + seed.astype(jnp.uint32)
-    elif cfg.rng == "hash":
+    elif cfg.rng in ("hash", "table"):
         state0 = seed.astype(jnp.uint32)
     else:
         state0 = jax.random.key(seed)
@@ -402,7 +402,7 @@ def render_pt_ring(scene, camera, cfg: RenderConfig, mesh: Mesh, seed=0):
     replicated wavefront draw-for-draw."""
     from spath_tpu.camera import generate_rays
 
-    if cfg.nee and cfg.rng == "lcg":
+    if cfg.nee and cfg.rng in ("lcg", "table"):
         raise ValueError("cfg.nee requires rng='threefry' or 'hash'")
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size

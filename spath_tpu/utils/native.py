@@ -49,6 +49,7 @@ def _lib():
         ctypes.c_int, ctypes.c_int, _F32P, _F32P, _F32P, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint32, _F32P, _F32P,
     ]
+    lib.sp_render_pt_basic.argtypes = lib.sp_render_pt.argtypes
     return lib
 
 
@@ -101,5 +102,29 @@ def native_render_pt(width, height, vertices, albedo, emission, spp,
     lib.sp_render_pt(
         width, height, _ptr(verts), _ptr(alb), _ptr(emi), verts.shape[0],
         spp, max_bounces, seed_offset, _ptr(cam), _ptr(out),
+    )
+    return out
+
+
+def native_render_pt_basic(width, height, vertices, albedo, emission, spp,
+                           max_bounces=5, srand_seed=1, camera_kw=None):
+    """Sequential ``basic_dist`` (std::rand) path trace — the golden for
+    the reference's single-threaded ``render_pt`` debug path
+    (``src/cpu_renderer.cpp:105-116``). ``srand_seed=1`` is the
+    process-default stream the reference consumes. → float32 (H, W, 3).
+
+    NOTE: calls ``srand`` in-process — any other ``rand()`` user in the
+    host process sees a reseeded stream afterwards.
+    """
+    lib = _lib()
+    assert lib is not None, "native library unavailable"
+    verts = np.ascontiguousarray(vertices, np.float32)
+    alb = np.ascontiguousarray(albedo, np.float32)
+    emi = np.ascontiguousarray(emission, np.float32)
+    cam = _cam_array(camera_kw)
+    out = np.empty((height, width, 3), np.float32)
+    lib.sp_render_pt_basic(
+        width, height, _ptr(verts), _ptr(alb), _ptr(emi), verts.shape[0],
+        spp, max_bounces, srand_seed, _ptr(cam), _ptr(out),
     )
     return out

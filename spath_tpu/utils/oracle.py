@@ -238,3 +238,63 @@ def render_pt(width, height, vertices, albedo, emission, spp,
         accum = (accum + rv).astype(F32)
     accum = (accum * F32(1.0 / F64(spp))).astype(F32)   # cpu_renderer.cpp:77
     return np.clip(accum, 0.0, 1.0).reshape(height, width, 3).astype(F32)
+
+
+def render_pt_basic(width, height, vertices, albedo, emission, spp,
+                    rng, max_bounces=5, camera_kw=None):
+    """Sequential path trace with a SHARED scalar RNG — the reference's
+    single-threaded ``render_pt`` debug path
+    (``src/cpu_renderer.cpp:105-116``): one global stream consumed in
+    pixel-major, sample-major, recursion order. Pass
+    ``ops.rng.GlibcRand(1)`` for the ``basic_dist`` process-default
+    stream, or a ``TableRng`` for ``vec_dist``.
+
+    Recursion and float32 op order mirror the reference recursion
+    (``src/cpu_renderer.cpp:30-68``); output is averaged then clamped to
+    [0, 1] like the native golden. Returns float32 (H, W, 3). Slow
+    (pure Python per ray) — use tiny frames.
+    """
+    verts = np.asarray(vertices, F32)
+    alb = np.asarray(albedo, F32)
+    emi = np.asarray(emission, F32)
+    normals = flat_normals(verts)
+    o0, d0 = viewport(width, height, **(camera_kw or {}))
+    inv_pi = F32(1.0 / PI)
+    inv_p = F32(PI * 2.0)
+
+    def sample_dir(adj_n):
+        az = F32(rng() * PI * 2.0)
+        el = F32(rng() * PI * 0.5)
+        fx = np.cos(el, dtype=F32)
+        out = np.array([np.cos(az, dtype=F32) * fx,
+                        np.sin(el, dtype=F32),
+                        np.sin(az, dtype=F32) * fx], F32)
+        if F32((adj_n * out).sum(dtype=F32)) < 0.0:
+            out = -out
+        return out.astype(F32)
+
+    def rad(o, d, src, depth):
+        if depth >= max_bounces:
+            return np.zeros(3, F32)
+        dist, idx = nearest_hit(o[None], d[None], verts,
+                                np.array([src], np.int32))
+        i = int(idx[0])
+        if i < 0:
+            return np.zeros(3, F32)
+        nrm = normals[i]
+        adj_n = (-nrm if F32((nrm * d).sum(dtype=F32)) > 0.0
+                 else nrm).astype(F32)
+        nd = sample_dir(adj_n)
+        cos_t = F32((nd * adj_n).sum(dtype=F32))
+        point = (o + F32(dist[0]) * d).astype(F32)
+        brdf = (alb[i] * inv_pi).astype(F32)
+        rec = rad(point, nd, i, depth + 1)
+        return (emi[i] + (brdf * rec) * F32(cos_t * inv_p)).astype(F32)
+
+    out = np.zeros((height * width, 3), F32)
+    for px in range(height * width):
+        acc = np.zeros(3, F32)
+        for _ in range(spp):
+            acc = (acc + rad(o0[px], d0[px], -1, 0)).astype(F32)
+        out[px] = np.clip((acc * F32(1.0 / F64(spp))).astype(F32), 0.0, 1.0)
+    return out.reshape(height, width, 3).astype(F32)
