@@ -41,11 +41,16 @@ from spath_tpu.ops.intersect import nearest_hit
 _BIG = np.float32(MAX_DIST)
 
 
-def _combine(best_d, best_i, new_d, new_i):
-    """Associative (min-distance, lowest-index-tie-break) combine."""
-    take = (new_d < best_d) | (
+def _take_mask(best_d, best_i, new_d, new_i):
+    """Associative (min-distance, lowest-index-tie-break) take mask."""
+    return (new_d < best_d) | (
         (new_d == best_d) & (new_i >= 0) & ((new_i < best_i) | (best_i < 0))
     )
+
+
+def _combine(best_d, best_i, new_d, new_i):
+    """Associative (min-distance, lowest-index-tie-break) combine."""
+    take = _take_mask(best_d, best_i, new_d, new_i)
     return (
         jnp.where(take, new_d, best_d),
         jnp.where(take, new_i, best_i),
@@ -102,6 +107,125 @@ def nearest_hit_ring(
             blk = tuple(lax.ppermute(b, axis_name, perm) for b in blk)
 
     return best_d, best_i
+
+
+def nearest_hit_ring_rows(
+    o: jax.Array,
+    d: jax.Array,
+    tri_table: jax.Array,
+    src_idx: jax.Array,
+    cfg: RenderConfig | None = None,
+    axis_name: str = "shard",
+):
+    """Fused ring sweep + winner-attribute carry: ONE rotation of the
+    ``(T/S, k)`` table serves both the nearest-hit reduction and the
+    per-hit attribute fetch.
+
+    Equivalent to ``nearest_hit_ring`` followed by
+    ``ring_gather_rows(tri_table, max(idx, 0))`` — bit-identical,
+    including the lowest-index tie-break (the row rides the same take
+    mask as the (distance, index) carry) and the miss-lane convention
+    (global row 0, matching the replicated path's ``max(idx, 0)``
+    gather) — but with one ring cycle instead of two: each step gathers
+    the resident shard's candidate row locally and keeps it only where
+    that shard wins the reduction. Vertex columns are ``tri_table[:,
+    0:9]``. Returns ``(dist, global_idx, rows)``.
+    """
+    n_shards = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    shard_size = tri_table.shape[0]
+    n = o.shape[0]
+
+    best_d = jnp.full(n, _BIG)
+    best_i = jnp.full(n, -1, jnp.int32)
+    best_rows = jnp.zeros((n, tri_table.shape[1]), tri_table.dtype)
+    row0 = jnp.zeros((tri_table.shape[1],), tri_table.dtype)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    blk = tri_table
+    for step in range(n_shards):
+        owner = (me - step) % n_shards
+        base = (owner * shard_size).astype(jnp.int32)
+        local_src = jnp.where(
+            (src_idx >= base) & (src_idx < base + shard_size),
+            src_idx - base,
+            jnp.int32(-1) - 1,
+        )
+        d_blk, i_blk = nearest_hit(
+            o, d, blk[:, 0:3], blk[:, 3:6], blk[:, 6:9], local_src,
+            cfg=cfg, method=(cfg.intersect if cfg else "reference"),
+        )
+        rows_blk = blk[jnp.clip(i_blk, 0, shard_size - 1)]
+        gi_blk = jnp.where(i_blk >= 0, i_blk + base, i_blk)
+        take = _take_mask(best_d, best_i, d_blk, gi_blk)
+        best_d = jnp.where(take, d_blk, best_d)
+        best_i = jnp.where(take, gi_blk, best_i)
+        best_rows = jnp.where(take[:, None], rows_blk, best_rows)
+        # Global row 0 (the miss-lane row) passes by exactly once.
+        row0 = jnp.where(owner == 0, blk[0], row0)
+        if step + 1 < n_shards:
+            blk = lax.ppermute(blk, axis_name, perm)
+
+    best_rows = jnp.where((best_i < 0)[:, None], row0[None, :], best_rows)
+    return best_d, best_i, best_rows
+
+
+def ring_light_select_rows(tri_table, u_sel, n_tris: int, axis_name: str,
+                           prob_col: int = 15, cdf_col: int = 16):
+    """Fused categorical light selection + light-row gather in ONE
+    rotation — equivalent to ``ring_light_select`` followed by
+    ``ring_gather_rows(tri_table, li)``, bit-identical, one ring cycle
+    instead of two.
+
+    Selection semantics (matching the replicated
+    ``ops/nee.py::sample_light_points``): the global
+    ``searchsorted(cdf, u, side='right')`` index, clipped to
+    ``n_tris - 1``. Because the stored cdf column is the exact global
+    cumsum, the crossing lives in exactly ONE shard and is locally
+    detectable: shard-local ``searchsorted`` gives position ``j``, and
+    the cdf value just before this shard is ``cdf[0] - prob[0]`` (both
+    resident columns), so ``j == 0`` crossings at the shard boundary
+    are decided without remote data. If no REAL row crosses (u beyond
+    the last real cdf — only possible through cumsum rounding — the
+    crossing then lands on a padding row, cdf 2.0), the clip semantics
+    select global row ``n_tris - 1``, whose row is captured as it
+    passes by (its owner shard is static).
+    """
+    n_shards = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    size = tri_table.shape[0]
+    n = u_sel.shape[0]
+    last_local = (n_tris - 1) % size      # static: owner of row n_tris-1
+    last_owner = (n_tris - 1) // size
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    found = jnp.zeros(n, bool)
+    g = jnp.zeros(n, jnp.int32)
+    rows = jnp.zeros((n, tri_table.shape[1]), tri_table.dtype)
+    fb_row = jnp.zeros((tri_table.shape[1],), tri_table.dtype)
+
+    blk = tri_table
+    for step in range(n_shards):
+        owner = (me - step) % n_shards
+        base = (owner * size).astype(jnp.int32)
+        cdf = blk[:, cdf_col]
+        j = jnp.searchsorted(cdf, u_sel, side="right").astype(jnp.int32)
+        prev0 = cdf[0] - blk[0, prob_col]
+        jc = jnp.clip(j, 0, size - 1)
+        gidx = base + jc
+        in_shard = (j < size) & ((j > 0) | (u_sel >= prev0)) \
+            & (gidx < jnp.int32(n_tris))
+        newly = in_shard & ~found
+        g = jnp.where(newly, gidx, g)
+        rows = jnp.where(newly[:, None], blk[jc], rows)
+        found = found | in_shard
+        fb_row = jnp.where(owner == last_owner, blk[last_local], fb_row)
+        if step + 1 < n_shards:
+            blk = lax.ppermute(blk, axis_name, perm)
+
+    li = jnp.where(found, g, jnp.int32(n_tris - 1))
+    rows = jnp.where(found[:, None], rows, fb_row[None, :])
+    return lax.stop_gradient(li), rows
 
 
 def ring_gather_rows(table_shard: jax.Array, global_idx: jax.Array,
@@ -210,10 +334,13 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
     models.pathtracer.trace_radiance — forward throughput, detached
     sampling, masked LCG advance, NEE/MIS, Russian roulette,
     stratification — with the sharded primitives substituted:
-    ``nearest_hit_ring`` for intersections (camera AND shadow rays),
-    ``ring_gather_rows`` for per-hit and per-light attributes, and
-    ``ring_light_select`` for the categorical light draw over the
-    ring-sharded cdf column. Normals/areas are derived from gathered
+    ``nearest_hit_ring_rows`` for the bounce intersection (one fused
+    ring cycle carries BOTH the nearest hit and its attribute row),
+    ``ring_light_select_rows`` for the categorical light draw + light
+    row (one fused cycle over the ring-sharded cdf), and
+    ``nearest_hit_ring`` for the shadow occlusion sweep (index-only —
+    3 ring cycles per bounce total, down from the 5 of the unfused
+    sweep/gather/select/gather/sweep chain). Normals/areas are derived from gathered
     vertices with the same float expressions as the replicated path, so
     ring and replicated renders agree draw-for-draw.
     """
@@ -229,8 +356,6 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
     v1s = tri_table[:, 3:6]
     v2s = tri_table[:, 6:9]
     use_mis = cfg.nee and cfg.mis and cfg.sampler != "angle"
-    if cfg.nee:
-        cdf_col = tri_table[:, 16]
 
     if cfg.rng == "lcg":
         state0 = pixel_ids.astype(jnp.uint32) + seed.astype(jnp.uint32)
@@ -252,14 +377,25 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
         else:
             rng_state = state
             sample_idx = s
+        import os as _os
+        _unfused = bool(int(_os.environ.get("SPATH_RING_UNFUSED", "0")))
         for bounce in range(cfg.max_bounces):
-            dist, idx = nearest_hit_ring(
-                oo, dd, v0s, v1s, v2s, src, cfg, axis_name
-            )
+            # Fused sweep + attribute carry: one ring cycle instead of
+            # sweep-then-gather (two). Bit-identical (see
+            # nearest_hit_ring_rows). SPATH_RING_UNFUSED=1 re-selects
+            # the 5-cycle path so the fusion win stays measurable.
+            if _unfused:
+                dist, idx = nearest_hit_ring(
+                    oo, dd, v0s, v1s, v2s, src, cfg, axis_name)
+                rows = ring_gather_rows(
+                    tri_table, jnp.maximum(idx, 0), axis_name)
+            else:
+                dist, idx, rows = nearest_hit_ring_rows(
+                    oo, dd, tri_table, src, cfg, axis_name
+                )
             hit = alive & (idx >= 0)
             hit3 = hit[:, None]
             safe = jnp.maximum(idx, 0)
-            rows = ring_gather_rows(tri_table, safe, axis_name)
             gv0, gv1, gv2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
             alb, emi = rows[:, 9:12], rows[:, 12:15]
             nrm = jnp.cross(gv1 - gv0, gv2 - gv0)
@@ -306,8 +442,14 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
                 # direct light: selection over the ring-sharded cdf,
                 # light rows via ring gather, shadow via the ring sweep
                 # (ops/nee.py::direct_light formulas verbatim).
-                li = ring_light_select(cdf_col, us[2], n_tris, axis_name)
-                lrows = ring_gather_rows(tri_table, li, axis_name)
+                # Fused selection + light-row gather (one ring cycle).
+                if _unfused:
+                    li = ring_light_select(
+                        tri_table[:, 16], us[2], n_tris, axis_name)
+                    lrows = ring_gather_rows(tri_table, li, axis_name)
+                else:
+                    li, lrows = ring_light_select_rows(
+                        tri_table, us[2], n_tris, axis_name)
                 lv0, lv1, lv2 = (lrows[:, 0:3], lrows[:, 3:6],
                                  lrows[:, 6:9])
                 lemi, lprob = lrows[:, 12:15], lrows[:, 15]
