@@ -228,6 +228,98 @@ def ring_light_select_rows(tri_table, u_sel, n_tris: int, axis_name: str,
     return lax.stop_gradient(li), rows
 
 
+def nearest_and_select_ring(
+    o: jax.Array,
+    d: jax.Array,
+    tri_table: jax.Array,
+    src_idx: jax.Array,
+    u_sel: jax.Array,
+    n_tris: int,
+    cfg: RenderConfig | None = None,
+    axis_name: str = "shard",
+    prob_col: int = 15,
+    cdf_col: int = 16,
+):
+    """Nearest-hit sweep AND categorical light selection in ONE ring
+    rotation — equivalent to ``nearest_hit_ring_rows`` followed by
+    ``ring_light_select_rows``, bit-identical, one table cycle instead
+    of two.
+
+    Legal whenever the selection uniform ``u_sel`` is available BEFORE
+    the sweep, i.e. whenever the RNG draws are hit-independent
+    (counter-based threefry/hash — which NEE mode requires;
+    ``render_pt_ring`` rejects lcg/table with NEE). Both reductions are
+    per-step functions of the same resident shard, so they share one
+    ``ppermute`` of the 17-column table: per NEE bounce the ring moves
+    17 (this) + 9 (shadow sweep) = 26 column-rotations instead of
+    17 + 17 + 9 = 43, and one ring-cycle latency disappears.
+
+    Returns ``(dist, global_idx, winner_rows, light_idx, light_rows)``.
+    """
+    n_shards = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    size = tri_table.shape[0]
+    n = o.shape[0]
+    k = tri_table.shape[1]
+    last_local = (n_tris - 1) % size
+    last_owner = (n_tris - 1) // size
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    # nearest-hit carries (nearest_hit_ring_rows body, verbatim)
+    best_d = jnp.full(n, _BIG)
+    best_i = jnp.full(n, -1, jnp.int32)
+    best_rows = jnp.zeros((n, k), tri_table.dtype)
+    row0 = jnp.zeros((k,), tri_table.dtype)
+    # selection carries (ring_light_select_rows body, verbatim)
+    found = jnp.zeros(n, bool)
+    g = jnp.zeros(n, jnp.int32)
+    sel_rows = jnp.zeros((n, k), tri_table.dtype)
+    fb_row = jnp.zeros((k,), tri_table.dtype)
+
+    blk = tri_table
+    for step in range(n_shards):
+        owner = (me - step) % n_shards
+        base = (owner * size).astype(jnp.int32)
+
+        local_src = jnp.where(
+            (src_idx >= base) & (src_idx < base + size),
+            src_idx - base,
+            jnp.int32(-1) - 1,
+        )
+        d_blk, i_blk = nearest_hit(
+            o, d, blk[:, 0:3], blk[:, 3:6], blk[:, 6:9], local_src,
+            cfg=cfg, method=(cfg.intersect if cfg else "reference"),
+        )
+        rows_blk = blk[jnp.clip(i_blk, 0, size - 1)]
+        gi_blk = jnp.where(i_blk >= 0, i_blk + base, i_blk)
+        take = _take_mask(best_d, best_i, d_blk, gi_blk)
+        best_d = jnp.where(take, d_blk, best_d)
+        best_i = jnp.where(take, gi_blk, best_i)
+        best_rows = jnp.where(take[:, None], rows_blk, best_rows)
+        row0 = jnp.where(owner == 0, blk[0], row0)
+
+        cdf = blk[:, cdf_col]
+        j = jnp.searchsorted(cdf, u_sel, side="right").astype(jnp.int32)
+        prev0 = cdf[0] - blk[0, prob_col]
+        jc = jnp.clip(j, 0, size - 1)
+        gidx = base + jc
+        in_shard = (j < size) & ((j > 0) | (u_sel >= prev0)) \
+            & (gidx < jnp.int32(n_tris))
+        newly = in_shard & ~found
+        g = jnp.where(newly, gidx, g)
+        sel_rows = jnp.where(newly[:, None], blk[jc], sel_rows)
+        found = found | in_shard
+        fb_row = jnp.where(owner == last_owner, blk[last_local], fb_row)
+
+        if step + 1 < n_shards:
+            blk = lax.ppermute(blk, axis_name, perm)
+
+    best_rows = jnp.where((best_i < 0)[:, None], row0[None, :], best_rows)
+    li = jnp.where(found, g, jnp.int32(n_tris - 1))
+    sel_rows = jnp.where(found[:, None], sel_rows, fb_row[None, :])
+    return best_d, best_i, best_rows, lax.stop_gradient(li), sel_rows
+
+
 def ring_gather_rows(table_shard: jax.Array, global_idx: jax.Array,
                      axis_name: str) -> jax.Array:
     """Gather rows by GLOBAL index from a table sharded around the ring.
@@ -334,13 +426,13 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
     models.pathtracer.trace_radiance — forward throughput, detached
     sampling, masked LCG advance, NEE/MIS, Russian roulette,
     stratification — with the sharded primitives substituted:
-    ``nearest_hit_ring_rows`` for the bounce intersection (one fused
-    ring cycle carries BOTH the nearest hit and its attribute row),
-    ``ring_light_select_rows`` for the categorical light draw + light
-    row (one fused cycle over the ring-sharded cdf), and
-    ``nearest_hit_ring`` for the shadow occlusion sweep (index-only —
-    3 ring cycles per bounce total, down from the 5 of the unfused
-    sweep/gather/select/gather/sweep chain). Normals/areas are derived from gathered
+    ``nearest_and_select_ring`` for the bounce intersection (one fused
+    ring cycle carries the nearest hit, its attribute row, AND the
+    categorical light draw + light row — legal because NEE's
+    counter-based draws are hit-independent) and ``nearest_hit_ring``
+    for the shadow occlusion sweep (index-only) — 2 ring cycles per
+    NEE bounce total, down from the 5 of the unfused
+    sweep/gather/select/gather/sweep chain. Normals/areas are derived from gathered
     vertices with the same float expressions as the replicated path, so
     ring and replicated renders agree draw-for-draw.
     """
@@ -379,12 +471,30 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
             sample_idx = s
         import os as _os
         _unfused = bool(int(_os.environ.get("SPATH_RING_UNFUSED", "0")))
+        # Counter-based draws (threefry/hash — which NEE mode requires)
+        # are hit-independent, so the light-selection uniform exists
+        # BEFORE the sweep and the selection can ride the sweep's own
+        # table rotation: 2 ring cycles per NEE bounce instead of 3.
+        # SPATH_RING_PAIRWISE=1 re-selects the 3-cycle round-3 path so
+        # the cycle-count win stays measurable.
+        _pairwise = bool(int(_os.environ.get("SPATH_RING_PAIRWISE",
+                                             "0")))
+        fuse_select = (cfg.nee and not _unfused and not _pairwise
+                       and cfg.rng != "lcg")
         for bounce in range(cfg.max_bounces):
             # Fused sweep + attribute carry: one ring cycle instead of
             # sweep-then-gather (two). Bit-identical (see
             # nearest_hit_ring_rows). SPATH_RING_UNFUSED=1 re-selects
             # the 5-cycle path so the fusion win stays measurable.
-            if _unfused:
+            li = lrows = None
+            if fuse_select:
+                rng_state, us = _bounce_uniforms(
+                    cfg, rng_state, jnp.zeros(n, bool), bounce,
+                    pixel_ids, n, sample_idx)
+                dist, idx, rows, li, lrows = nearest_and_select_ring(
+                    oo, dd, tri_table, src, us[2], n_tris, cfg,
+                    axis_name)
+            elif _unfused:
                 dist, idx = nearest_hit_ring(
                     oo, dd, v0s, v1s, v2s, src, cfg, axis_name)
                 rows = ring_gather_rows(
@@ -405,9 +515,11 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
             flip = jnp.sum(nrm * dd, axis=-1) > 0.0
             adj_n = jnp.where(flip[:, None], -nrm, nrm)
 
-            rng_state, us = _bounce_uniforms(
-                cfg, rng_state, hit, bounce, pixel_ids, n, sample_idx
-            )
+            if not fuse_select:
+                rng_state, us = _bounce_uniforms(
+                    cfg, rng_state, hit, bounce, pixel_ids, n,
+                    sample_idx
+                )
             u_az = us[0]
             if cfg.stratify and bounce == 0 and sample_idx is not None:
                 u_az = (jnp.float32(sample_idx) + u_az) * jnp.float32(
@@ -447,9 +559,9 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
                     li = ring_light_select(
                         tri_table[:, 16], us[2], n_tris, axis_name)
                     lrows = ring_gather_rows(tri_table, li, axis_name)
-                else:
-                    li, lrows = ring_light_select_rows(
-                        tri_table, us[2], n_tris, axis_name)
+                elif li is None:   # nee without fuse_select (lcg —
+                    li, lrows = ring_light_select_rows(  # rejected
+                        tri_table, us[2], n_tris, axis_name)  # upstream
                 lv0, lv1, lv2 = (lrows[:, 0:3], lrows[:, 3:6],
                                  lrows[:, 6:9])
                 lemi, lprob = lrows[:, 12:15], lrows[:, 15]

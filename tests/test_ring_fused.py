@@ -1,6 +1,7 @@
 """Fused ring primitives == their unfused two-cycle equivalents, bit
-for bit — the invariant that lets _trace_ring run 3 ring cycles per
-bounce instead of 5.
+for bit — the invariants that let _trace_ring run 2 ring cycles per
+NEE bounce (sweep+rows+select fused into one table rotation, plus the
+shadow sweep) instead of the 5 of the unfused chain.
 """
 
 import jax
@@ -118,3 +119,43 @@ def test_fused_light_select_fallback_beyond_last_cdf():
     li, rows = map(np.asarray, go(u, table))
     assert (li == n_tris - 1).all()
     assert np.array_equal(rows, np.tile(table[n_tris - 1], (8, 1)))
+
+
+def test_trifused_equals_pair_of_fused():
+    """nearest_and_select_ring == nearest_hit_ring_rows +
+    ring_light_select_rows, bit for bit — the invariant behind the
+    2-cycle NEE bounce (sweep+rows+select in ONE table rotation)."""
+    rng = np.random.default_rng(3)
+    mesh = make_mesh(4, axis="shard")
+    n_tris, n_rays = 37, 64
+    cfg = RenderConfig(intersect="pluecker")
+    table = _pad(_table(n_tris, 3, rng), 4, nee=True)
+    o = np.zeros((n_rays, 3), np.float32)
+    o[:, 2] = -3.0
+    d = rng.standard_normal((n_rays, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    src = np.full(n_rays, -1, np.int32)
+    u = rng.random(n_rays).astype(np.float32)
+    u[:4] = [0.0, 0.25, 0.5, np.nextafter(np.float32(1.0), np.float32(0))]
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("shard"),) * 5,
+             out_specs=(P("shard"),) * 10, check_vma=False)
+    def go(o, d, src, u, tbl):
+        d1, i1, r1, li1, lr1 = R.nearest_and_select_ring(
+            o, d, tbl, src, u, n_tris, cfg, "shard")
+        d2, i2, r2 = R.nearest_hit_ring_rows(o, d, tbl, src, cfg,
+                                             "shard")
+        li2, lr2 = R.ring_light_select_rows(tbl, u, n_tris, "shard")
+        return d1, i1, r1, li1, lr1, d2, i2, r2, li2, lr2
+
+    d1, i1, r1, li1, lr1, d2, i2, r2, li2, lr2 = map(
+        np.asarray, go(o, d, src, u, table))
+    assert np.array_equal(d1, d2)
+    assert np.array_equal(i1, i2)
+    assert np.array_equal(r1, r2)
+    assert np.array_equal(li1, li2)
+    assert np.array_equal(lr1, lr2)
+    assert (i1 >= 0).any() and (i1 < 0).any()
