@@ -109,6 +109,62 @@ def nearest_hit_ring(
     return best_d, best_i
 
 
+def _sweep_step(blk, owner, base, o, d, src_idx, cfg, carry):
+    """One ring step of the fused sweep + winner-row carry.
+
+    SHARED body of ``nearest_hit_ring_rows`` and
+    ``nearest_and_select_ring`` — their bit-equality is by construction,
+    not by mirrored copies. ``carry`` = (best_d, best_i, best_rows,
+    row0); ``row0`` captures global row 0 (the miss-lane row) as its
+    owner shard passes by.
+    """
+    best_d, best_i, best_rows, row0 = carry
+    size = blk.shape[0]
+    local_src = jnp.where(
+        (src_idx >= base) & (src_idx < base + size),
+        src_idx - base,
+        jnp.int32(-1) - 1,  # -2: matches no local triangle
+    )
+    d_blk, i_blk = nearest_hit(
+        o, d, blk[:, 0:3], blk[:, 3:6], blk[:, 6:9], local_src,
+        cfg=cfg, method=(cfg.intersect if cfg else "reference"),
+    )
+    rows_blk = blk[jnp.clip(i_blk, 0, size - 1)]
+    gi_blk = jnp.where(i_blk >= 0, i_blk + base, i_blk)
+    take = _take_mask(best_d, best_i, d_blk, gi_blk)
+    best_d = jnp.where(take, d_blk, best_d)
+    best_i = jnp.where(take, gi_blk, best_i)
+    best_rows = jnp.where(take[:, None], rows_blk, best_rows)
+    row0 = jnp.where(owner == 0, blk[0], row0)
+    return best_d, best_i, best_rows, row0
+
+
+def _select_step(blk, owner, base, u_sel, n_tris, prob_col, cdf_col,
+                 last_owner, last_local, carry):
+    """One ring step of the fused categorical selection + row carry.
+
+    SHARED body of ``ring_light_select_rows`` and
+    ``nearest_and_select_ring`` (see ``_sweep_step``). ``carry`` =
+    (found, g, rows, fb_row); ``fb_row`` captures global row
+    ``n_tris - 1`` (the clip-semantics fallback) as its owner passes.
+    """
+    found, g, rows, fb_row = carry
+    size = blk.shape[0]
+    cdf = blk[:, cdf_col]
+    j = jnp.searchsorted(cdf, u_sel, side="right").astype(jnp.int32)
+    prev0 = cdf[0] - blk[0, prob_col]
+    jc = jnp.clip(j, 0, size - 1)
+    gidx = base + jc
+    in_shard = (j < size) & ((j > 0) | (u_sel >= prev0)) \
+        & (gidx < jnp.int32(n_tris))
+    newly = in_shard & ~found
+    g = jnp.where(newly, gidx, g)
+    rows = jnp.where(newly[:, None], blk[jc], rows)
+    found = found | in_shard
+    fb_row = jnp.where(owner == last_owner, blk[last_local], fb_row)
+    return found, g, rows, fb_row
+
+
 def nearest_hit_ring_rows(
     o: jax.Array,
     d: jax.Array,
@@ -136,36 +192,23 @@ def nearest_hit_ring_rows(
     shard_size = tri_table.shape[0]
     n = o.shape[0]
 
-    best_d = jnp.full(n, _BIG)
-    best_i = jnp.full(n, -1, jnp.int32)
-    best_rows = jnp.zeros((n, tri_table.shape[1]), tri_table.dtype)
-    row0 = jnp.zeros((tri_table.shape[1],), tri_table.dtype)
+    carry = (
+        jnp.full(n, _BIG),
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros((n, tri_table.shape[1]), tri_table.dtype),
+        jnp.zeros((tri_table.shape[1],), tri_table.dtype),
+    )
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
     blk = tri_table
     for step in range(n_shards):
         owner = (me - step) % n_shards
         base = (owner * shard_size).astype(jnp.int32)
-        local_src = jnp.where(
-            (src_idx >= base) & (src_idx < base + shard_size),
-            src_idx - base,
-            jnp.int32(-1) - 1,
-        )
-        d_blk, i_blk = nearest_hit(
-            o, d, blk[:, 0:3], blk[:, 3:6], blk[:, 6:9], local_src,
-            cfg=cfg, method=(cfg.intersect if cfg else "reference"),
-        )
-        rows_blk = blk[jnp.clip(i_blk, 0, shard_size - 1)]
-        gi_blk = jnp.where(i_blk >= 0, i_blk + base, i_blk)
-        take = _take_mask(best_d, best_i, d_blk, gi_blk)
-        best_d = jnp.where(take, d_blk, best_d)
-        best_i = jnp.where(take, gi_blk, best_i)
-        best_rows = jnp.where(take[:, None], rows_blk, best_rows)
-        # Global row 0 (the miss-lane row) passes by exactly once.
-        row0 = jnp.where(owner == 0, blk[0], row0)
+        carry = _sweep_step(blk, owner, base, o, d, src_idx, cfg, carry)
         if step + 1 < n_shards:
             blk = lax.ppermute(blk, axis_name, perm)
 
+    best_d, best_i, best_rows, row0 = carry
     best_rows = jnp.where((best_i < 0)[:, None], row0[None, :], best_rows)
     return best_d, best_i, best_rows
 
@@ -199,30 +242,23 @@ def ring_light_select_rows(tri_table, u_sel, n_tris: int, axis_name: str,
     last_owner = (n_tris - 1) // size
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
-    found = jnp.zeros(n, bool)
-    g = jnp.zeros(n, jnp.int32)
-    rows = jnp.zeros((n, tri_table.shape[1]), tri_table.dtype)
-    fb_row = jnp.zeros((tri_table.shape[1],), tri_table.dtype)
+    carry = (
+        jnp.zeros(n, bool),
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros((n, tri_table.shape[1]), tri_table.dtype),
+        jnp.zeros((tri_table.shape[1],), tri_table.dtype),
+    )
 
     blk = tri_table
     for step in range(n_shards):
         owner = (me - step) % n_shards
         base = (owner * size).astype(jnp.int32)
-        cdf = blk[:, cdf_col]
-        j = jnp.searchsorted(cdf, u_sel, side="right").astype(jnp.int32)
-        prev0 = cdf[0] - blk[0, prob_col]
-        jc = jnp.clip(j, 0, size - 1)
-        gidx = base + jc
-        in_shard = (j < size) & ((j > 0) | (u_sel >= prev0)) \
-            & (gidx < jnp.int32(n_tris))
-        newly = in_shard & ~found
-        g = jnp.where(newly, gidx, g)
-        rows = jnp.where(newly[:, None], blk[jc], rows)
-        found = found | in_shard
-        fb_row = jnp.where(owner == last_owner, blk[last_local], fb_row)
+        carry = _select_step(blk, owner, base, u_sel, n_tris, prob_col,
+                             cdf_col, last_owner, last_local, carry)
         if step + 1 < n_shards:
             blk = lax.ppermute(blk, axis_name, perm)
 
+    found, g, rows, fb_row = carry
     li = jnp.where(found, g, jnp.int32(n_tris - 1))
     rows = jnp.where(found[:, None], rows, fb_row[None, :])
     return lax.stop_gradient(li), rows
@@ -254,6 +290,11 @@ def nearest_and_select_ring(
     17 (this) + 9 (shadow sweep) = 26 column-rotations instead of
     17 + 17 + 9 = 43, and one ring-cycle latency disappears.
 
+    Both per-step bodies are the SHARED ``_sweep_step``/``_select_step``
+    helpers used by the pairwise primitives, so bit-equality with
+    ``nearest_hit_ring_rows`` + ``ring_light_select_rows`` holds by
+    construction.
+
     Returns ``(dist, global_idx, winner_rows, light_idx, light_rows)``.
     """
     n_shards = lax.axis_size(axis_name)
@@ -265,55 +306,33 @@ def nearest_and_select_ring(
     last_owner = (n_tris - 1) // size
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
-    # nearest-hit carries (nearest_hit_ring_rows body, verbatim)
-    best_d = jnp.full(n, _BIG)
-    best_i = jnp.full(n, -1, jnp.int32)
-    best_rows = jnp.zeros((n, k), tri_table.dtype)
-    row0 = jnp.zeros((k,), tri_table.dtype)
-    # selection carries (ring_light_select_rows body, verbatim)
-    found = jnp.zeros(n, bool)
-    g = jnp.zeros(n, jnp.int32)
-    sel_rows = jnp.zeros((n, k), tri_table.dtype)
-    fb_row = jnp.zeros((k,), tri_table.dtype)
+    sweep_carry = (
+        jnp.full(n, _BIG),
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros((n, k), tri_table.dtype),
+        jnp.zeros((k,), tri_table.dtype),
+    )
+    sel_carry = (
+        jnp.zeros(n, bool),
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros((n, k), tri_table.dtype),
+        jnp.zeros((k,), tri_table.dtype),
+    )
 
     blk = tri_table
     for step in range(n_shards):
         owner = (me - step) % n_shards
         base = (owner * size).astype(jnp.int32)
-
-        local_src = jnp.where(
-            (src_idx >= base) & (src_idx < base + size),
-            src_idx - base,
-            jnp.int32(-1) - 1,
-        )
-        d_blk, i_blk = nearest_hit(
-            o, d, blk[:, 0:3], blk[:, 3:6], blk[:, 6:9], local_src,
-            cfg=cfg, method=(cfg.intersect if cfg else "reference"),
-        )
-        rows_blk = blk[jnp.clip(i_blk, 0, size - 1)]
-        gi_blk = jnp.where(i_blk >= 0, i_blk + base, i_blk)
-        take = _take_mask(best_d, best_i, d_blk, gi_blk)
-        best_d = jnp.where(take, d_blk, best_d)
-        best_i = jnp.where(take, gi_blk, best_i)
-        best_rows = jnp.where(take[:, None], rows_blk, best_rows)
-        row0 = jnp.where(owner == 0, blk[0], row0)
-
-        cdf = blk[:, cdf_col]
-        j = jnp.searchsorted(cdf, u_sel, side="right").astype(jnp.int32)
-        prev0 = cdf[0] - blk[0, prob_col]
-        jc = jnp.clip(j, 0, size - 1)
-        gidx = base + jc
-        in_shard = (j < size) & ((j > 0) | (u_sel >= prev0)) \
-            & (gidx < jnp.int32(n_tris))
-        newly = in_shard & ~found
-        g = jnp.where(newly, gidx, g)
-        sel_rows = jnp.where(newly[:, None], blk[jc], sel_rows)
-        found = found | in_shard
-        fb_row = jnp.where(owner == last_owner, blk[last_local], fb_row)
-
+        sweep_carry = _sweep_step(blk, owner, base, o, d, src_idx, cfg,
+                                  sweep_carry)
+        sel_carry = _select_step(blk, owner, base, u_sel, n_tris,
+                                 prob_col, cdf_col, last_owner,
+                                 last_local, sel_carry)
         if step + 1 < n_shards:
             blk = lax.ppermute(blk, axis_name, perm)
 
+    best_d, best_i, best_rows, row0 = sweep_carry
+    found, g, sel_rows, fb_row = sel_carry
     best_rows = jnp.where((best_i < 0)[:, None], row0[None, :], best_rows)
     li = jnp.where(found, g, jnp.int32(n_tris - 1))
     sel_rows = jnp.where(found[:, None], sel_rows, fb_row[None, :])
@@ -479,8 +498,14 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
         # the cycle-count win stays measurable.
         _pairwise = bool(int(_os.environ.get("SPATH_RING_PAIRWISE",
                                              "0")))
+        # Local guard (not just the render_pt_ring entry check): the
+        # fused path consumes us[2] before the sweep, which only exists
+        # for the counter-based RNGs (lcg draws lazily; table draws 2).
         fuse_select = (cfg.nee and not _unfused and not _pairwise
-                       and cfg.rng != "lcg")
+                       and cfg.rng in ("threefry", "hash"))
+        if cfg.nee:
+            assert cfg.rng not in ("lcg", "table"), \
+                "NEE ring tracing needs a counter-based RNG"
         for bounce in range(cfg.max_bounces):
             # Fused sweep + attribute carry: one ring cycle instead of
             # sweep-then-gather (two). Bit-identical (see
