@@ -257,13 +257,21 @@ def main():
                   " [streamed]",
                   lambda b=b, s=stress: b(s, cam), n=2, rays=n_s)
 
-    # quality estimator at scale (NEE at 10k triangles)
-    stress = procedural_scene(10_000, seed=0, emissive_fraction=0.01)
-    bench.run("stress 10k fwd quality NEE+MIS 1080p spp2 [streamed]",
-              lambda: sync(fwd(stress, cam, sqcfg, 1)), n=2, rays=n_s)
-    b = make_bwd(render_radiance_fastgrad, sqcfg)
-    bench.run("stress 10k fwd+bwd quality NEE+MIS 1080p spp2 [streamed]",
-              lambda: b(stress, cam), n=2, rays=n_s)
+    # quality estimator at scale (NEE at 10k AND the 100k spec point —
+    # the streamed HBM adjoint lifted the fused quality VJP past the
+    # old 32k cap in round 4; ~1000 lights at 100k, under LIGHT_MAX)
+    for t_stress in (10_000, 100_000):
+        stress = procedural_scene(t_stress, seed=0,
+                                  emissive_fraction=0.01)
+        label = f"{t_stress // 1000}k"
+        bench.run(f"stress {label} fwd quality NEE+MIS 1080p spp2"
+                  " [streamed]",
+                  lambda s=stress: sync(fwd(s, cam, sqcfg, 1)), n=2,
+                  rays=n_s)
+        b = make_bwd(render_radiance_fastgrad, sqcfg)
+        bench.run(f"stress {label} fwd+bwd quality NEE+MIS 1080p spp2"
+                  " [streamed]",
+                  lambda b=b, s=stress: b(s, cam), n=2, rays=n_s)
 
     # The spec point itself, once: 10k tris, 1080p-area, spp=64,
     # fwd+bwd. Run as FOUR 1920x270 slices: a single full-frame spp64

@@ -36,16 +36,27 @@ Backward: one Pallas launch replays the walk per sample and runs the
 shared analytic reverse sweep (``megakernel_quality_grad._reverse_bounce``
 — the NEE position chain is LIVE: gradients to hit/light geometry,
 normals, areas, and camera rays). Per-triangle adjoints scatter through
-the MXU per streamed block (exact 3-way bf16 split one-hots,
-``megakernel_grad._split3``) into a ``(32, Tp)`` triangle-major
-accumulator in the ATTRS-table row layout, accumulated directly in the
-revisited output block; both the surface chain (at the hit index) and
-the light chain (at the sampled light's global index) land there, so
-scene cotangents flow through the single differentiable attrs table.
-The geometry-feature table keeps an exactly-zero cotangent — the same
+the MXU (exact 3-way bf16 split one-hots, ``megakernel_grad._split3``)
+into a ``(32, Tp)`` triangle-major accumulator in the ATTRS-table row
+layout; both the surface chain (at the hit index) and the light chain
+(at the sampled light's global index) land there, so scene cotangents
+flow through the single differentiable attrs table. The
+geometry-feature table keeps an exactly-zero cotangent — the same
 geometry enters the attrs table differentiably, which is where the
 analytic distance/light VJPs are anchored (same policy as
 ``megakernel_bigscene_grad``).
+
+The accumulator is STREAMED through HBM (round 4): a VMEM-resident
+``(32, Tp)`` block would cap T at 32k (16 MB at 128k — the whole VMEM
+budget), so instead the reverse sweep collects each sample's ≤2·bounces
+contribution matrices (surface + light chains, hi/mid/lo-split) and
+then runs ONE double-buffered read-modify-write pass over the adjoint's
+``(32, TILE_T)`` HBM blocks — all events scatter into a block while it
+is VMEM-resident, exactly mirroring how the forward streams the
+triangle features. Nothing in VMEM scales with T any more, so the VJP
+cap equals the forward cap (``BIG_MAX_TRIS``); the rmw traffic is
+2·32·T·4 B per (sample, ray-tile) — a few percent of the sweeps' own
+feature DMAs and far below the O(R·T) MXU time that dominates.
 """
 
 from __future__ import annotations
@@ -86,10 +97,16 @@ TILE_RQ = 512
 #: exist so the backward replay can anchor the analytic distance VJP
 #: without a second table; 32 = whole bf16 sublane tiles.
 _AQCOLS = 32
-#: compact SMEM light-table cap (rows of the quality-table layout)
-LIGHT_MAX = 1024
-#: backward cap: the (32, Tp) f32 adjoint block is 4 MB at 32k
-BIGQ_GRAD_MAX_TRIS = 32768
+#: compact SMEM light-table cap (rows of the quality-table layout).
+#: 2048 × 24 × 4 B = 196 KB compiles on v5e; 4096 overflows SMEM
+#: (measured round 4). 2× headroom over the 100k/1%-emissive stress
+#: scene's ~1000 lights; beyond it the registry falls to the wavefront
+#: (pinned by tests/test_bigscene_quality.py::test_bigq_light_cap).
+LIGHT_MAX = 2048
+#: backward cap == forward cap: the (32, Tp) adjoint streams through
+#: HBM blocks (see module docstring), so no VMEM buffer scales with T.
+#: BASELINE config 4's 100k point runs the fused VJP with headroom.
+BIGQ_GRAD_MAX_TRIS = BIG_MAX_TRIS
 
 #: light-table gather columns for ``_select_gather_light``: quality-table
 #: layout v0(0:3) e1(3:6) e2(6:9) n(9:12) em(15:18) prob(18) area(19),
@@ -300,8 +317,9 @@ def _attrs_rows_light(light, zrow):
 
 
 def _bigq_bwd_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbar, gtab,
-                     grays, gbuf, abuf, sems, *, cfg: RenderConfig,
-                     n_blocks: int, n_lights: int, fast: bool):
+                     grays, gbuf, abuf, sems, rwbuf, rwsems, *,
+                     cfg: RenderConfig, n_blocks: int, n_lights: int,
+                     fast: bool):
     from spath_tpu.ops.pallas.megakernel_quality_grad import (
         _reverse_bounce,
     )
@@ -316,50 +334,55 @@ def _bigq_bwd_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbar, gtab,
     g3 = (gbar[0:1, :] * inv, gbar[1:2, :] * inv, gbar[2:3, :] * inv)
     nb = cfg.max_bounces
 
+    # The (32, Tp) adjoint lives in HBM (module docstring): per-sample,
+    # all contribution events scatter into each (32, TILE_T) block
+    # while it is VMEM-resident in a double-buffered rmw pass.
+    def rd(slot, j):
+        return pltpu.make_async_copy(
+            gtab.at[:, pl.ds(j * TILE_T, TILE_T)], rwbuf.at[slot],
+            rwsems.at[slot, 0])
+
+    def wr(slot, j):
+        return pltpu.make_async_copy(
+            rwbuf.at[slot], gtab.at[:, pl.ds(j * TILE_T, TILE_T)],
+            rwsems.at[slot, 1])
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        gtab[...] = jnp.zeros_like(gtab)
+        rwbuf[0] = jnp.zeros_like(rwbuf[0])
 
-    def scatter_blocked(rows, sentinel):
-        """MXU one-hot scatter-add of contribution rows (attrs layout)
-        into the (32, Tp) accumulator, one streamed block at a time —
-        exact 3-way bf16 split, fp32 accumulation (megakernel_grad
-        design at bigscene scale)."""
+        def zbody(j, _):
+            w = wr(0, j)
+            w.start()
+            w.wait()
+            return 0
+
+        lax.fori_loop(0, n_blocks, zbody, 0)
+
+    def contrib(rows, sentinel):
+        """One scatter event: hi/mid/lo-split (32, R) contribution rows
+        (attrs layout) + the (R, 1) target-index sentinel column."""
         cmat = jnp.concatenate(
             list(rows) + [zrow] * (_AQCOLS - len(rows)), axis=0)
         hi, mid, lo = _split3(cmat)
-        idx_col = sentinel.T                          # (R, 1)
-
-        def body(j, _):
-            onehot = (
-                (jax.lax.broadcasted_iota(jnp.int32, (r, TILE_T), 1)
-                 + j * TILE_T) == idx_col
-            ).astype(jnp.bfloat16)
-            piece = (
-                jnp.dot(hi, onehot, preferred_element_type=jnp.float32)
-                + jnp.dot(mid, onehot, preferred_element_type=jnp.float32)
-                + jnp.dot(lo, onehot, preferred_element_type=jnp.float32)
-            )
-            gtab[:, pl.ds(j * TILE_T, TILE_T)] += piece
-            return 0
-
-        lax.fori_loop(0, n_blocks, body, 0)
+        return hi, mid, lo, sentinel.T
 
     def sample_body(s, gry):
         gry = list(gry)
         _, _, _, saved = _sample_walk(s, ctx)
         tb = [zrow, zrow, zrow]
         ob = [zrow, zrow, zrow]
+        events = []
         for bounce in reversed(range(nb)):
             sv = saved[bounce]
             rb = _reverse_bounce(sv, tb, ob, g3, cfg, zrow)
-            scatter_blocked(
+            events.append(contrib(
                 _attrs_rows_surf(rb["surf"], zrow),
-                jnp.where(sv["hit"], sv["idx"], -1))
+                jnp.where(sv["hit"], sv["idx"], -1)))
             if rb["light"] is not None:
-                scatter_blocked(
+                events.append(contrib(
                     _attrs_rows_light(rb["light"], zrow),
-                    jnp.where(sv["ok"], sv["li"], -1))
+                    jnp.where(sv["ok"], sv["li"], -1)))
             if bounce == 0:
                 for c in range(3):
                     gry[c] = gry[c] + rb["onew"][c]
@@ -367,6 +390,53 @@ def _bigq_bwd_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbar, gtab,
             else:
                 ob = rb["onew"]
             tb = rb["tb"]
+
+        # --- streamed rmw scatter pass over the adjoint blocks ---
+        def piece_for(j):
+            acc = None
+            for hi, mid, lo, idx_col in events:
+                onehot = (
+                    (jax.lax.broadcasted_iota(jnp.int32, (r, TILE_T), 1)
+                     + j * TILE_T) == idx_col
+                ).astype(jnp.bfloat16)
+                p = (
+                    jnp.dot(hi, onehot,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(mid, onehot,
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(lo, onehot,
+                              preferred_element_type=jnp.float32)
+                )
+                acc = p if acc is None else acc + p
+            return acc
+
+        rd(0, 0).start()
+
+        def body(j, _):
+            slot = lax.rem(j, 2)
+            nxt = lax.rem(j + 1, 2)
+
+            @pl.when(j + 1 < n_blocks)
+            def _pref():
+                # slot `nxt` was written back at step j-1; its write
+                # must land before the next read overwrites the buffer
+                @pl.when(j >= 1)
+                def _():
+                    wr(nxt, j - 1).wait()
+
+                rd(nxt, j + 1).start()
+
+            piece = piece_for(j)
+            rd(slot, j).wait()
+            rwbuf[slot] = rwbuf[slot] + piece
+            wr(slot, j).start()
+            return 0
+
+        lax.fori_loop(0, n_blocks, body, 0)
+        # drain: in-loop waits covered writes 0..n_blocks-3
+        if n_blocks >= 2:
+            wr((n_blocks - 2) % 2, n_blocks - 2).wait()
+        wr((n_blocks - 1) % 2, n_blocks - 1).wait()
         return tuple(gry)
 
     gry = lax.fori_loop(0, cfg.spp, sample_body, (zrow,) * 6)
@@ -399,10 +469,9 @@ def bigq_bwd_call(rays, keys, ltab, gfeat, attrs, gbar,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            # constant index: the adjoint block stays VMEM-resident and
-            # accumulates across the whole grid (zeroed at step 0)
-            pl.BlockSpec((_AQCOLS, tp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            # whole-buffer HBM adjoint, rmw-streamed by the kernel
+            # (zeroed at grid step 0, accumulated across the grid)
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -414,6 +483,8 @@ def bigq_bwd_call(rays, keys, ltab, gfeat, attrs, gbar,
             pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.bfloat16),
             pltpu.VMEM((2, _AQCOLS, TILE_T), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, _AQCOLS, TILE_T), jnp.float32),   # rmw bufs
+            pltpu.SemaphoreType.DMA((2, 2)),                 # rmw sems
         ],
     )(rays, keys, ltab, gfeat, attrs, gbar)
 

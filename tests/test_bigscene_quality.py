@@ -117,6 +117,45 @@ def test_bigq_grad_tracks_wavefront():
             err_msg=f"beyond path-flip noise: {name}")
 
 
+def test_bigq_grad_above_32k():
+    """The streamed HBM adjoint (round 4) lifts the fused quality VJP
+    past the old 32k VMEM-resident cap: values and gradients at
+    T > 32768 still track the wavefront. (Tiny frame/spp: interpret
+    mode pays real host FLOPs per streamed block.)"""
+    from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+        BIGQ_GRAD_MAX_TRIS,
+    )
+
+    scene = procedural_scene(33_000, seed=0, emissive_fraction=0.01)
+    assert scene.n_tris > 32768
+    assert BIGQ_GRAD_MAX_TRIS >= 131072
+    assert supported_grad(scene, CFG)
+    li = scene.light_idx
+    cam = Camera.default()
+    cfg = CFG.replace(width=16, height=8, spp=1, max_bounces=2)
+
+    def make_loss(fn):
+        def loss(a, e):
+            s = Scene(scene.vertices, a, e, light_idx=li)
+            return jnp.mean(fn(s, cam, cfg, 0))
+        return loss
+
+    with pltpu.force_tpu_interpret_mode():
+        want = jax.jit(jax.grad(make_loss(render_radiance),
+                                argnums=(0, 1)))(
+            scene.albedo, scene.emission)
+        got = jax.jit(jax.grad(
+            make_loss(render_radiance_bigscene_quality),
+            argnums=(0, 1)))(scene.albedo, scene.emission)
+    for name, g_got, g_want in zip(["albedo", "emission"], got, want):
+        g_got, g_want = np.asarray(g_got), np.asarray(g_want)
+        scale = np.abs(g_want).max() + 1e-12
+        assert np.abs(g_want).max() > 0.0
+        np.testing.assert_allclose(
+            g_got, g_want, atol=0.03 * scale,
+            err_msg=f"beyond path-flip noise: {name}")
+
+
 def test_bigq_camera_grad_lives():
     """The NEE position chain reaches the camera through packed rays."""
     scene = _combined_scene(249)
@@ -155,6 +194,29 @@ def test_bigq_static_light_set():
     with pytest.raises(ValueError):
         render_radiance_bigscene_quality(
             traced, Camera.default(), CFG.replace(rng="lcg"), 0)
+
+
+def test_bigq_light_cap():
+    """Over-cap light sets fall OFF the fused path loudly and route to
+    the wavefront — the round-3 cliff (LIGHT_MAX one config from the
+    bench scene) is now pinned: the 100k/1%-emissive stress scene's
+    ~1000 lights sit at ≤half the cap."""
+    from spath_tpu.models.renderer import grad_renderer
+    from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+        LIGHT_MAX,
+        render_radiance_bigscene_quality,
+    )
+
+    assert LIGHT_MAX >= 2000          # 2x the bench scene's light count
+    over = procedural_scene(
+        8192, seed=0, emissive_fraction=(LIGHT_MAX + 64) / 8192)
+    assert len(over.light_idx) > LIGHT_MAX
+    assert not supported(over, CFG) and not supported_grad(over, CFG)
+    assert grad_renderer(over, CFG).name == "wavefront"
+    with pytest.raises(ValueError):
+        render_radiance_bigscene_quality(over, Camera.default(), CFG, 0)
+    under = procedural_scene(8192, seed=0, emissive_fraction=0.01)
+    assert supported(under, CFG) and supported_grad(under, CFG)
 
 
 def test_bigq_all_dark_scene():
