@@ -52,37 +52,108 @@ PAD_MULTIPLE = 32768
 
 
 class CompactPlan(NamedTuple):
-    """Seed-independent per-(scene, camera, cfg) launch plan."""
+    """Seed-independent per-(scene, camera, cfg) launch plan.
+
+    ``sel`` lets the differentiable path re-derive the live-first rays
+    from a TRACED camera (``rays[:, sel]``), so camera cotangents flow
+    through the gather transpose while the permutation itself stays a
+    plan constant.
+    """
 
     rays_p: jax.Array      # (8, Np) live-first rays; tail zero-direction
     pix_p: jax.Array       # (1, Np) permuted per-pixel RNG ids
     inv: jax.Array         # (Np,) lane -> packed slot (gather map)
+    sel: jax.Array         # (Np,) packed slot -> lane (live-first perm)
     n_live: int            # host-side live count
     padded: int            # bucketed kernel lane count
+
+
+#: relative classification slack. Cross-formulation discrepancies
+#: between the XLA classifier and the kernels' own intersections
+#: (Mosaic-vs-XLA FMA contraction ~ulps; K-packed bf16-split
+#: reordering ~1e-5 rel, BASELINE.md row 4) are two orders of
+#: magnitude below this, so margin-dead certifies kernel-dead.
+_MARGIN = 1e-3
+
+
+def _any_hit_relaxed(o, d, v0, v1, v2, block: int = 512):
+    """Conservative any-hit: True where ANY triangle is within a
+    ``_MARGIN``-relative band of the Möller–Trumbore validity bounds.
+
+    Evaluated on the HIGHEST-precision f32 Plücker quantities; each
+    bound is slackened by ``_MARGIN`` of its operands' scale (the
+    barycentric normalizer |a| plus the numerators), so a lane this
+    classifier calls DEAD fails the strict bounds under every kernel
+    formulation that agrees with f32 to well under the margin — the
+    invariant the compact launch needs (dead lanes read back zero).
+    Lanes live-under-margin but kernel-missing just render their exact
+    zero in the prefix: a few silhouette-band lanes of waste, never a
+    wrong pixel.
+    """
+    import numpy as np
+
+    from spath_tpu.ops.intersect import (
+        _EPS,
+        _INV_EPS,
+        _pad_tris,
+        pluecker_features,
+    )
+    from jax import lax
+
+    (v0p, v1p, v2p), _ = _pad_tris([v0, v1, v2], block)
+    n = o.shape[0]
+    m = jnp.cross(o, d)
+    rays10 = jnp.concatenate(
+        [d, m, o, jnp.ones((n, 1), jnp.float32)], axis=1)
+    feats = pluecker_features(v0p, v1p, v2p)       # (10, 4·Tp)
+    nblk = v0p.shape[0] // block
+    fb = feats.T.reshape(nblk, block * 4, 10)
+    mg = np.float32(_MARGIN)
+    eps_lo = np.float32(float(_EPS) * (1.0 - _MARGIN))
+
+    def body(any_live, fblk):
+        quads = jnp.dot(
+            rays10, fblk.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        ).reshape(n, block, 4)
+        a, u_num, v_num, d_num = (
+            quads[..., 0], quads[..., 1], quads[..., 2], quads[..., 3])
+        abs_a = jnp.abs(a)
+        s = jnp.sign(a)
+        us, vs, ds = u_num * s, v_num * s, d_num * s
+        slack = mg * (abs_a + jnp.abs(us) + jnp.abs(vs))
+        ok = (
+            (abs_a >= eps_lo)
+            & (us >= -slack) & (vs >= -slack)
+            & (us + vs <= abs_a + slack)
+            & (ds > _EPS * abs_a - slack)
+            & (ds < _INV_EPS * abs_a + mg * jnp.abs(ds))
+        )
+        return any_live | jnp.any(ok, axis=1), None
+
+    live0 = jnp.zeros(n, bool)
+    live, _ = lax.scan(body, live0, fb)
+    return live
 
 
 @partial(jax.jit, static_argnames=("cfg", "lane_multiple"))
 def _classify(scene, camera, cfg: RenderConfig, lane_multiple: int):
     """Pack + classify + live-first permute (no sort, no scatter).
 
-    Classification uses the XLA ``nearest_hit`` with the config's own
-    ε semantics. The fused kernels re-derive hits with their own
-    formulations (SMEM scalar MT walk / streamed K-packed Plücker), so
-    a grazing ray a few ulps from an ε bound could in principle
-    classify differently — the conformance suites (u8-exact at
-    640×480, bit-exact compact-vs-full in test_compact_fused.py) pin
-    that the hit SETS agree on every tested view, and a flipped lane
-    costs one pixel of background, the same flip budget the kernels
-    already accept against the wavefront."""
-    from spath_tpu.ops.intersect import nearest_hit
+    Classification is the CONSERVATIVE ``_any_hit_relaxed`` band (round
+    4): lanes near any ε bound under any formulation land in the live
+    prefix, so the kernels' own intersections (SMEM scalar MT walk /
+    streamed K-packed Plücker) can never disagree with a dead
+    classification — bit-exact compact-vs-full holds by construction,
+    not by per-view luck (property-tested over randomized cameras in
+    test_compact_fused.py)."""
     from spath_tpu.ops.pallas.megakernel import pack_rays
 
     rays, pix, _ = pack_rays(camera, cfg, 0, lane_multiple=lane_multiple)
     o = rays[0:3, :].T
     d = rays[3:6, :].T
-    src = jnp.full(o.shape[0], -1, jnp.int32)
-    _, idx = nearest_hit(o, d, scene.v0, scene.v1, scene.v2, src, cfg)
-    live = idx >= 0
+    live = _any_hit_relaxed(o, d, scene.v0, scene.v1, scene.v2,
+                            cfg.tri_block)
     total = rays.shape[1]
     n_live = jnp.sum(live).astype(jnp.int32)
     livei = live.astype(jnp.int32)
@@ -92,11 +163,14 @@ def _classify(scene, camera, cfg: RenderConfig, lane_multiple: int):
         live, jnp.cumsum(livei) - 1,
         n_live + jnp.cumsum(1 - livei) - 1,
     ).astype(jnp.int32)
-    (sel,) = jnp.nonzero(live, size=total, fill_value=0)
+    # full live-first permutation: live lanes in order, then miss lanes
+    # in order (the argsort-free form of order_rays_live_first's perm)
+    sel = jnp.zeros(total, jnp.int32).at[inv].set(
+        jnp.arange(total, dtype=jnp.int32))
     in_prefix = jnp.arange(total, dtype=jnp.int32) < n_live
     rays_p = jnp.where(in_prefix[None, :], rays[:, sel], 0.0)
     pix_p = jnp.where(in_prefix[None, :], pix[:, sel], 0)
-    return rays_p, pix_p, inv, n_live
+    return rays_p, pix_p, inv, sel, n_live
 
 
 def _lane_multiple(kernel: str) -> int:
@@ -123,13 +197,13 @@ def make_compact_plan(scene, camera, cfg: RenderConfig,
     if kernel is None:
         raise ValueError("no fused megakernel covers this (scene, cfg)")
     lanes = _lane_multiple(kernel)
-    rays_p, pix_p, inv, n_live = _classify(scene, camera, cfg, lanes)
+    rays_p, pix_p, inv, sel, n_live = _classify(scene, camera, cfg, lanes)
     n_live = int(n_live)                  # the one host scalar
     total = rays_p.shape[1]
     bucket = max(min(pad_multiple, total), lanes)
     bucket = -(-bucket // lanes) * lanes  # whole kernel tiles
     padded = min(-(-max(n_live, 1) // bucket) * bucket, total)
-    return CompactPlan(rays_p, pix_p, inv, n_live, padded)
+    return CompactPlan(rays_p, pix_p, inv, sel, n_live, padded)
 
 
 @partial(jax.jit, static_argnames=("cfg", "padded", "kernel"))
@@ -212,6 +286,29 @@ def _select_kernel(scene, cfg: RenderConfig) -> str | None:
     return None
 
 
+def _select_kernel_grad(scene, cfg: RenderConfig) -> str | None:
+    """Custom-VJP kernel covering (scene, cfg) — mirrors
+    ``_select_kernel``'s routing with the grad predicates."""
+    from spath_tpu.models.renderer import SMEM_ROUTE_MAX_TRIS
+    from spath_tpu.ops.pallas import (
+        megakernel_bigscene_grad,
+        megakernel_bigscene_quality,
+        megakernel_grad,
+        megakernel_quality_grad,
+    )
+
+    if scene.n_tris <= SMEM_ROUTE_MAX_TRIS:
+        if megakernel_grad.supported_grad(scene, cfg):
+            return "conformance"
+        if megakernel_quality_grad.supported_grad(scene, cfg):
+            return "quality"
+    if megakernel_bigscene_quality.supported_grad(scene, cfg):
+        return "bigscene_quality"
+    if megakernel_bigscene_grad.supported_grad(scene, cfg):
+        return "bigscene"
+    return None
+
+
 def supported(scene, cfg: RenderConfig) -> bool:
     """True when a fused megakernel (SMEM or HBM-streamed) covers
     (scene, cfg) and the frame spans multiple tiles (else compaction
@@ -260,3 +357,113 @@ def render_radiance_compact_fused(scene, camera, cfg: RenderConfig,
         return jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     return _run(scene, plan.rays_p, plan.pix_p, plan.inv, seed, cfg,
                 plan.padded, kernel)
+
+
+@partial(jax.jit, static_argnames=("cfg", "padded", "kernel"))
+def _run_grad(scene, camera, sel, inv, seed, cfg: RenderConfig,
+              padded: int, kernel: str):
+    """Differentiable compacted launch: custom-VJP rows kernels on the
+    live prefix, re-deriving the permuted rays from the traced camera
+    so camera cotangents flow through the gather transpose.
+
+    Slots in [n_live, padded) hold genuine camera-miss rays (the
+    permutation's ordered tail) — exact zero radiance and zero adjoint
+    contributions, so no masking is needed and every original lane's
+    value/gradient is identical to the full-frame kernels'.
+    """
+    from spath_tpu.ops.pallas.megakernel import pack_rays
+
+    lanes = _lane_multiple(kernel)
+    rays, pix, _ = pack_rays(camera, cfg, 0, lane_multiple=lanes)
+    rays_c = rays[:, sel][:, :padded]
+    pix_c = pix[:, sel][:, :padded]
+    fast = cfg.intersect == "pallas_fast"
+    if kernel == "quality":
+        from spath_tpu.ops.pallas.megakernel_quality import (
+            _GOLD,
+            quality_table,
+        )
+        from spath_tpu.ops.pallas.megakernel_quality_grad import (
+            quality_rows,
+        )
+
+        keys_c = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix_c
+        rows = quality_rows(quality_table(scene), rays_c, keys_c, cfg,
+                            scene.n_tris, scene.light_idx)
+    elif kernel == "bigscene_quality":
+        from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+            bigq_rows,
+            bigscene_quality_tables,
+        )
+        from spath_tpu.ops.pallas.megakernel_quality import _GOLD
+
+        keys_c = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix_c
+        gfeat, attrs, ltab, n_blocks, n_lights = \
+            bigscene_quality_tables(scene)
+        rows = bigq_rows(gfeat, attrs, ltab, rays_c, keys_c, cfg,
+                         n_blocks, n_lights, fast)
+    elif kernel == "bigscene":
+        from spath_tpu.ops.pallas.megakernel_bigscene import (
+            bigscene_tables,
+        )
+        from spath_tpu.ops.pallas.megakernel_bigscene_grad import (
+            bigscene_rows,
+        )
+
+        keys_c = pix_c + jnp.asarray(seed).astype(jnp.uint32)
+        gfeat, attrs, n_blocks = bigscene_tables(scene)
+        rows = bigscene_rows(gfeat, attrs, rays_c, keys_c, cfg,
+                             n_blocks, fast)
+    else:
+        from spath_tpu.ops.pallas.megakernel import _scene_table
+        from spath_tpu.ops.pallas.megakernel_grad import mega_rows
+
+        keys_c = pix_c + jnp.asarray(seed).astype(jnp.uint32)
+        rows = mega_rows(_scene_table(scene), rays_c, keys_c, cfg,
+                         scene.n_tris)
+    rows_ext = jnp.concatenate(
+        [rows, jnp.zeros((4, 1), jnp.float32)], axis=1)
+    full = jnp.take(rows_ext, jnp.minimum(inv, padded), axis=1)
+    n = cfg.width * cfg.height
+    return full[:3, :n].T.reshape(cfg.height, cfg.width, 3)
+
+
+def supported_grad(scene, cfg: RenderConfig) -> bool:
+    """True when a custom-VJP megakernel covers (scene, cfg) and the
+    frame spans multiple tiles. The plan build itself needs concrete
+    scene/camera values — jit-traced callers must pass ``plan=``."""
+    kernel = _select_kernel_grad(scene, cfg)
+    return (kernel is not None
+            and cfg.width * cfg.height > _lane_multiple(kernel))
+
+
+def render_radiance_compact_grad(scene, camera, cfg: RenderConfig,
+                                 seed=0,
+                                 pad_multiple: int = PAD_MULTIPLE,
+                                 plan: CompactPlan | None = None):
+    """Differentiable compacted fused render → unclamped ``(H, W, 3)``.
+
+    Value- and gradient-identical to the full-frame custom-VJP kernels
+    (dropped lanes are certified camera-misses: zero radiance, zero
+    adjoint contributions — every chain is hit-masked), ~1/(live
+    fraction) faster both directions. With ``plan=`` given the call is
+    fully jittable and differentiable w.r.t. scene AND camera; the
+    classification itself is detached (same policy as the argmin).
+
+    CONTRACT: the plan certifies misses for the geometry it was built
+    with — rebuild it when scene geometry moves beyond the silhouette
+    tolerance of your application (a stale plan drops newly-live
+    boundary lanes). Appearance-only training (albedo/emission) never
+    stales a plan.
+    """
+    if plan is None:
+        plan = _cached_plan(scene, camera, cfg, pad_multiple)
+    kernel = _select_kernel_grad(scene, cfg)
+    if kernel is None:
+        raise ValueError(
+            "no custom-VJP megakernel covers this (scene, cfg)")
+    if plan.n_live == 0:
+        # all-miss frame: still differentiable (constant zero)
+        return jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    return _run_grad(scene, camera, plan.sel, plan.inv, seed, cfg,
+                     plan.padded, kernel)

@@ -474,13 +474,52 @@ def render_vis_residual(
     decomposition argument; ``VisGradFusedRenderer`` for the routing).
     The walk replays detached (one forward-cost pass, no interior tape);
     only the O(1)-per-lane vis chains are differentiated.
+
+    ``chunk``: pixels per sequentially-mapped slice. The residual's
+    per-bounce vis-chain tape is O(N) per sample even under per-sample
+    remat, which OOMs a v5e at 1080p on large scenes (measured round 4
+    at 10k tris spp4); slicing the frame into ``lax.map``-ed
+    ``jax.checkpoint`` chunks bounds the live tape to one chunk with
+    zero estimator change — the hash/threefry streams are keyed by the
+    global pixel ids passed per chunk, so every draw is identical to
+    the unsliced call. ``None`` picks a default that engages above
+    ``_VIS_CHUNK`` pixels; pass ``0`` to force unsliced.
     """
     if not cfg.vis_grad:
         raise ValueError("render_vis_residual needs cfg.vis_grad")
+    return _render_vis_residual_impl(scene, camera, cfg, seed)
+
+
+#: residual slice size (pixels): one chunk's vis tape at spp<=8 fits a
+#: v5e comfortably; frames at or below this run unsliced
+_VIS_CHUNK = 262144
+
+
+def _render_vis_residual_impl(scene, camera, cfg, seed, chunk=None):
     origins, directions = generate_rays(camera, cfg.width, cfg.height)
-    mean = trace_mean_radiance(scene, origins, directions, cfg, seed,
-                               vis_residual=True)
-    return mean.reshape(cfg.height, cfg.width, 3)
+    n = origins.shape[0]
+    if chunk is None:
+        chunk = _VIS_CHUNK
+    if not chunk or n <= chunk:
+        mean = trace_mean_radiance(scene, origins, directions, cfg, seed,
+                                   vis_residual=True)
+        return mean.reshape(cfg.height, cfg.width, 3)
+    pad = (-n) % chunk
+    pid = jnp.arange(n + pad, dtype=jnp.uint32)
+    o = jnp.concatenate([origins, jnp.zeros((pad, 3))]).astype(jnp.float32)
+    d = jnp.concatenate([directions, jnp.zeros((pad, 3))]).astype(
+        jnp.float32)
+    k = (n + pad) // chunk
+
+    @jax.checkpoint
+    def one(args):
+        oc, dc, pc = args
+        return trace_mean_radiance(scene, oc, dc, cfg, seed,
+                                   pixel_ids=pc, vis_residual=True)
+
+    mean = lax.map(one, (o.reshape(k, chunk, 3), d.reshape(k, chunk, 3),
+                         pid.reshape(k, chunk)))
+    return mean.reshape(-1, 3)[:n].reshape(cfg.height, cfg.width, 3)
 
 
 def render_radiance_compact(
@@ -600,10 +639,15 @@ def render_radiance_fastgrad(
                                                 mesh)
     from spath_tpu.models.renderer import grad_renderer
 
-    # Fused hand-written VJPs first (conformance, quality, then the
-    # streamed large-scene kernel), else the autodiff wavefront
+    # Registry order is the selection policy: compacted fused VJP (when
+    # NOT being traced — its plan build syncs one host scalar), fused
+    # hand-written VJPs (conformance, quality, then the streamed
+    # large-scene kernel), else the autodiff wavefront
     # (models/renderer.py).
-    return grad_renderer(scene, cfg).render_radiance_grad(
+    tracing = (isinstance(scene.vertices, jax.core.Tracer)
+               or isinstance(camera.pos, jax.core.Tracer))
+    return grad_renderer(scene, cfg,
+                         require_jittable=tracing).render_radiance_grad(
         scene, camera, cfg, seed)
 
 

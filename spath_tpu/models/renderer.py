@@ -152,7 +152,10 @@ class VisGradFusedRenderer(Renderer):
         from spath_tpu.models.pathtracer import render_vis_residual
 
         icfg = cfg.replace(vis_grad=False)
-        interior = grad_renderer(scene, icfg).render_radiance_grad(
+        tracing = (isinstance(scene.vertices, jax.core.Tracer)
+                   or isinstance(camera.pos, jax.core.Tracer))
+        interior = grad_renderer(
+            scene, icfg, require_jittable=tracing).render_radiance_grad(
             scene, camera, icfg, seed)
         return interior + render_vis_residual(scene, camera, cfg, seed)
 
@@ -322,16 +325,19 @@ class BigsceneRenderer(Renderer):
 
 
 class CompactFusedRenderer(Renderer):
-    """Bucket-compacted fused megakernel forward: classify camera rays
-    once, launch the fused kernel on the bucket-padded live prefix only
+    """Bucket-compacted fused megakernel: classify camera rays once,
+    launch the fused kernel on the bucket-padded live prefix only
     (``models/compact_fast.py``). Value-identical to the full fused
     launch, ~1/(live fraction) faster (1.55× on the default view); one
-    host scalar per frame → not jittable, so callers that wrap
-    ``render_pt_fast`` in ``jax.jit`` route around it
-    (``forward_renderer(require_jittable=True)``)."""
+    host scalar per PLAN BUILD → not jittable through the registry, so
+    callers that wrap ``render_pt_fast``/``render_radiance_fastgrad``
+    in ``jax.jit`` route around it (``require_jittable=True``). Jitted
+    callers reach the same speed by passing an explicit plan to
+    ``compact_fast.render_radiance_compact_grad(plan=...)`` — the
+    launch itself is jittable and differentiable (round 4)."""
 
     name = "compact_fused"
-    description = "bucket-compacted fused megakernel (forward serving)"
+    description = "bucket-compacted fused megakernel (serving + training)"
     jittable = False
 
     def available(self) -> bool:
@@ -342,12 +348,25 @@ class CompactFusedRenderer(Renderer):
 
         return self.available() and compact_fast.supported(scene, cfg)
 
+    def supports_grad(self, scene, cfg) -> bool:
+        from spath_tpu.models import compact_fast
+
+        return self.available() and compact_fast.supported_grad(
+            scene, cfg)
+
     def render_radiance(self, scene, camera, cfg, seed=0):
         from spath_tpu.models.compact_fast import (
             render_radiance_compact_fused,
         )
 
         return render_radiance_compact_fused(scene, camera, cfg, seed)
+
+    def render_radiance_grad(self, scene, camera, cfg, seed=0):
+        from spath_tpu.models.compact_fast import (
+            render_radiance_compact_grad,
+        )
+
+        return render_radiance_compact_grad(scene, camera, cfg, seed)
 
 
 class NativeRenderer(Renderer):
@@ -443,10 +462,17 @@ def forward_renderer(scene: Scene, cfg: RenderConfig,
     return REGISTRY[-2]          # wavefront: supports everything
 
 
-def grad_renderer(scene: Scene, cfg: RenderConfig) -> Renderer:
-    """The fastest backend with a gradient path for (scene, cfg)."""
+def grad_renderer(scene: Scene, cfg: RenderConfig,
+                  require_jittable: bool = False) -> Renderer:
+    """The fastest backend with a gradient path for (scene, cfg).
+
+    ``require_jittable``: traced callers (a ``jax.jit``-wrapped loss)
+    must skip backends whose plan build syncs a host scalar — the
+    compacted fused VJP; they can still reach it by passing an explicit
+    plan to ``compact_fast.render_radiance_compact_grad``."""
     for r in REGISTRY:
-        if r.supports_grad(scene, cfg):
+        if ((r.jittable or not require_jittable)
+                and r.supports_grad(scene, cfg)):
             return r
     return REGISTRY[-2]
 

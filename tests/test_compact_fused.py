@@ -98,6 +98,50 @@ def test_compact_matches_streamed_fused(quality):
     assert (got == want).all(), np.abs(got - want).max()
 
 
+def test_compact_exact_under_randomized_cameras(scene7):
+    """Property test (round 4): zero compact-vs-full mismatches over a
+    sweep of randomized camera poses. The conservative margin
+    classifier (``_any_hit_relaxed``) guarantees dead-classified lanes
+    are kernel-dead under ANY formulation, so bit-exactness must hold
+    for every pose, not just the pinned default views."""
+    rng = np.random.default_rng(7)
+    cfg = _cfg()
+    with pltpu.force_tpu_interpret_mode():
+        for k in range(8):
+            cam = Camera.default()
+            cam = cam.move_relative(jnp.asarray(
+                rng.uniform(-0.8, 0.8, 3).astype(np.float32)))
+            cam = cam.rotate_by(jnp.asarray(
+                rng.uniform(-0.5, 0.5, 3).astype(np.float32)))
+            want = np.asarray(_full(scene7, cam, cfg, k))
+            got = np.asarray(render_radiance_compact_fused(
+                scene7, cam, cfg, k, pad_multiple=1024))
+            assert (got == want).all(), \
+                f"pose {k}: {np.abs(got - want).max()}"
+
+
+def test_margin_classifier_superset(scene7):
+    """The relaxed classifier's live set contains every strict hit —
+    the conservative invariant, checked directly on random rays."""
+    from spath_tpu.models.compact_fast import _any_hit_relaxed
+    from spath_tpu.ops.intersect import nearest_hit
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    src = jnp.full(n, -1, jnp.int32)
+    for method in ("reference", "pluecker"):
+        _, idx = nearest_hit(o, d, scene7.v0, scene7.v1, scene7.v2,
+                             src, method=method)
+        strict = np.asarray(idx >= 0)
+        relaxed = np.asarray(_any_hit_relaxed(
+            o, d, scene7.v0, scene7.v1, scene7.v2))
+        assert not (strict & ~relaxed).any(), method
+
+
 def test_compact_plan_reused_across_seeds(scene7):
     """The plan is seed-independent: one plan, different frame seeds,
     each bit-equal to its full fused render."""

@@ -135,6 +135,45 @@ def test_fused_composition_matches_wavefront_vis():
     np.testing.assert_allclose(ga_f, ga_t, atol=5e-2 * sa)
 
 
+def test_fused_composition_large_T():
+    """The decomposition at T > 1024: STREAMED quality VJP interior
+    (``megakernel_bigscene_quality``) + residual == wavefront vis_grad.
+    This is the path ``VisGradFusedRenderer`` routes above the SMEM
+    caps (round-4 item: large scene + silhouette gradients). Flip-style
+    tolerance as in test_fused_composition_matches_wavefront_vis."""
+    from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+        render_radiance_bigscene_quality,
+        supported_grad,
+    )
+    from spath_tpu.scene import procedural_scene
+
+    blocker = _blocker_scene()
+    proc = procedural_scene(1152 - 5, seed=3, emissive_fraction=0.01)
+    scene = make_scene(
+        jnp.concatenate([blocker.vertices, proc.vertices]),
+        jnp.concatenate([blocker.albedo, proc.albedo]),
+        jnp.concatenate([blocker.emission, proc.emission]),
+    )
+    assert scene.n_tris > 1024
+    cfg = _cfg(nee=True, mis=True, spp=1, max_bounces=2,
+               intersect="pallas")
+    assert supported_grad(scene, cfg.replace(vis_grad=False))
+
+    def fused_total(s, cam, c, seed):
+        interior = render_radiance_bigscene_quality(
+            s, cam, c.replace(vis_grad=False), seed)
+        return interior + render_vis_residual(s, cam, c, seed)
+
+    with pltpu.force_tpu_interpret_mode():
+        gv_t, ga_t = _grads(render_radiance, scene, cfg)
+        gv_f, ga_f = _grads(fused_total, scene, cfg)
+    sv = np.abs(gv_t).max()
+    sa = max(np.abs(ga_t).max(), 1e-8)
+    assert sv > 0.0
+    np.testing.assert_allclose(gv_f, gv_t, atol=5e-2 * sv)
+    np.testing.assert_allclose(ga_f, ga_t, atol=5e-2 * sa)
+
+
 def test_registry_routes_visgrad(monkeypatch):
     from spath_tpu.models import renderer as R
 
@@ -142,7 +181,13 @@ def test_registry_routes_visgrad(monkeypatch):
     scene = _blocker_scene()
     r = R.grad_renderer(scene, _cfg(nee=True, mis=True))
     assert r.name == "visgrad_fused"
-    # without vis_grad the fused quality VJP is selected directly
+    # without vis_grad a fused custom-VJP path is selected directly:
+    # the compacted launch for eager callers, the quality kernel when
+    # the caller is being traced (plan build syncs a host scalar)
     r2 = R.grad_renderer(scene, _cfg(nee=True, mis=True,
                                      vis_grad=False))
-    assert r2.name == "quality"
+    assert r2.name == "compact_fused"
+    r3 = R.grad_renderer(scene, _cfg(nee=True, mis=True,
+                                     vis_grad=False),
+                         require_jittable=True)
+    assert r3.name == "quality"
