@@ -227,6 +227,26 @@ def main():
         if r and "conformance" in name:
             bwd_rays = max(bwd_rays, r)
 
+    # --- fwd+bwd through the COMPACTED custom-VJP launch (round 4):
+    # the seed-independent plan is built once eagerly and passed as an
+    # explicit static argument, so the whole loss+grad jits; grads are
+    # identical to the full-frame kernels (tests/test_compact_grad.py)
+    from spath_tpu.models.compact_fast import (
+        make_compact_plan,
+        render_radiance_compact_grad,
+    )
+
+    for name, c in (
+        ("fwd+bwd conformance 1080p64 [compact fused]", cfg),
+        ("fwd+bwd quality NEE+MIS 1080p64 [compact fused]", qcfg),
+    ):
+        plan = make_compact_plan(scene, cam, c)
+        b = make_bwd(
+            lambda s, cm, cc, sd, plan=plan:
+                render_radiance_compact_grad(s, cm, cc, sd, plan=plan),
+            c)
+        bench.run(name, lambda b=b: b(scene, cam), n=2, rays=n_rays)
+
     # --- visibility (silhouette) gradients on the fused path: quality
     # interior custom-VJP + forward-zero vis residual. spp4: the
     # wavefront autodiff OOMs a v5e at 1080p even at spp4; the fused
@@ -236,6 +256,17 @@ def main():
     b = make_bwd(render_radiance_fastgrad, vcfg)
     bench.run("fwd+bwd quality+visgrad 1080p spp4 [fused+residual]",
               lambda: b(scene, cam), n=2, rays=n_v)
+
+    # ... and at SCALE (round 4): 10k triangles, streamed quality
+    # interior VJP + chunked residual (the wavefront autodiff OOMs;
+    # before round 4 the residual itself OOMed too at this size).
+    vs_scene = procedural_scene(10_000, seed=0, emissive_fraction=0.01)
+    vscfg = vcfg.replace(spp=2, intersect="pallas")
+    n_vs = vscfg.width * vscfg.height * vscfg.spp * vscfg.max_bounces
+    b = make_bwd(render_radiance_fastgrad, vscfg)
+    bench.run("stress 10k fwd+bwd quality+visgrad 1080p spp2 "
+              "[fused+residual]",
+              lambda: b(vs_scene, cam), n=1, rays=n_vs)
 
     # --- stress scenes (BASELINE config 4: 10k-100k tris, 1080p,
     # fwd AND fwd+bwd) via the HBM-streamed fused megakernels. The
@@ -290,6 +321,20 @@ def main():
     bench.run("stress 10k fwd+bwd conformance 1080p-area spp64 "
               "[spec point, 4 slices]",
               spec_point, n=1, rays=n_spec)
+
+    # The 100k x spp64 program SHAPE itself, once (round 4): one
+    # 1920x54 slice — a genuine spp=64 compile+execution at 100k
+    # triangles (~40 s device time, inside the launch-kill bound),
+    # ruling out VMEM/compile surprises at the exact spec config. The
+    # full-frame rate at spec follows from the measured spp-linearity
+    # at 100k (docs/PERFORMANCE.md) times the spp2 stress lines above.
+    spec100 = cfg.replace(spp=64, height=54)
+    n_spec100 = 1920 * 54 * spec100.spp * spec100.max_bounces
+    stress100 = procedural_scene(100_000, seed=0)
+    b = make_bwd(render_radiance_fastgrad, spec100)
+    bench.run("stress 100k fwd+bwd conformance 1920x54 spp64 "
+              "[spec shape, 1 slice]",
+              lambda: b(stress100, cam), n=1, rays=n_spec100)
 
     _log("sections: " + json.dumps(bench.lines))
 

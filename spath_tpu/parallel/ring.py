@@ -398,9 +398,13 @@ def _pad_axis0(x, m, fill=0.0):
     return x
 
 
-def render_flat_ring(scene, camera, cfg: RenderConfig, mesh: Mesh):
-    """Flat render with rays AND triangles sharded over one mesh axis —
-    the memory-scalable path for scenes that outgrow replicated HBM."""
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _render_flat_ring_jit(scene, camera, cfg: RenderConfig, mesh: Mesh):
+    # ONE jitted program end-to-end: ray gen, padding, the sharded ring
+    # sweep, and the frame reassembly. Anything left outside (round 3
+    # left ray gen + table build + clip eager) dominates wall-clock on
+    # the remote-TPU path — ~21 s/frame of per-op dispatch vs <1 s of
+    # actual ring compute, measured round 4 (tools/ring_profile.py).
     from spath_tpu.camera import generate_rays
 
     axis = mesh.axis_names[0]
@@ -415,7 +419,6 @@ def render_flat_ring(scene, camera, cfg: RenderConfig, mesh: Mesh):
     albedo = _pad_axis0(scene.albedo, n_dev)
     src = jnp.full(o.shape[0], -1, jnp.int32)
 
-    @jax.jit  # shard_map must run under jit; eager dispatch is pathological
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -434,6 +437,12 @@ def render_flat_ring(scene, camera, cfg: RenderConfig, mesh: Mesh):
 
     img = go(o, d, v0, v1, v2, src, albedo)
     return img[:n].reshape(cfg.height, cfg.width, 3)
+
+
+def render_flat_ring(scene, camera, cfg: RenderConfig, mesh: Mesh):
+    """Flat render with rays AND triangles sharded over one mesh axis —
+    the memory-scalable path for scenes that outgrow replicated HBM."""
+    return _render_flat_ring_jit(scene, camera, cfg=cfg, mesh=mesh)
 
 
 def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
@@ -670,19 +679,14 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
     return acc * (np.float32(1.0) / np.float32(cfg.spp))
 
 
-def render_pt_ring(scene, camera, cfg: RenderConfig, mesh: Mesh, seed=0):
-    """Path-traced frame with rays AND triangle data sharded over one
-    mesh axis — the full long-context mode (SURVEY §5): per-device
-    memory for scene data is T/S rows; triangle shards ride the ring
-    for both intersection and attribute fetch. The full quality
-    estimator is supported: NEE/MIS light tables (prob + exact global
-    cdf columns ride the ring with the triangle shards; shadow rays use
-    the ring sweep), Russian roulette, and stratification — matching the
-    replicated wavefront draw-for-draw."""
+@partial(jax.jit, static_argnames=("cfg", "mesh", "n_tris"))
+def _render_pt_ring_jit(scene, camera, seed, cfg: RenderConfig,
+                        mesh: Mesh, n_tris: int):
+    # Whole frame in ONE jitted program (see _render_flat_ring_jit:
+    # eager prep outside jit cost ~21 s/frame over the axon tunnel and
+    # was round 3's entire "ring is gather-bound" artifact).
     from spath_tpu.camera import generate_rays
 
-    if cfg.nee and cfg.rng in ("lcg", "table"):
-        raise ValueError("cfg.nee requires rng='threefry' or 'hash'")
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     o, d = generate_rays(camera, cfg.width, cfg.height)
@@ -707,17 +711,30 @@ def render_pt_ring(scene, camera, cfg: RenderConfig, mesh: Mesh, seed=0):
             fill = fill.at[:, 16].set(2.0)
         table = jnp.concatenate([table, fill], axis=0)
 
-    @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(axis),
-        check_vma=False,   # pallas sweeps (see render_flat_ring)
+        check_vma=False,   # pallas sweeps (see _render_flat_ring_jit)
     )
     def go(o, d, pids, table, seed):
-        return _trace_ring(table, o, d, pids, cfg, seed, axis,
-                           scene.n_tris)
+        return _trace_ring(table, o, d, pids, cfg, seed, axis, n_tris)
 
-    img = go(o, d, pixel_ids, table, jnp.asarray(seed))
+    img = go(o, d, pixel_ids, table, seed)
     return jnp.clip(img[:n], 0.0, 1.0).reshape(cfg.height, cfg.width, 3)
+
+
+def render_pt_ring(scene, camera, cfg: RenderConfig, mesh: Mesh, seed=0):
+    """Path-traced frame with rays AND triangle data sharded over one
+    mesh axis — the full long-context mode (SURVEY §5): per-device
+    memory for scene data is T/S rows; triangle shards ride the ring
+    for both intersection and attribute fetch. The full quality
+    estimator is supported: NEE/MIS light tables (prob + exact global
+    cdf columns ride the ring with the triangle shards; shadow rays use
+    the ring sweep), Russian roulette, and stratification — matching the
+    replicated wavefront draw-for-draw."""
+    if cfg.nee and cfg.rng in ("lcg", "table"):
+        raise ValueError("cfg.nee requires rng='threefry' or 'hash'")
+    return _render_pt_ring_jit(scene, camera, jnp.asarray(seed),
+                               cfg=cfg, mesh=mesh, n_tris=scene.n_tris)
