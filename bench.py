@@ -290,19 +290,26 @@ def main():
 
     # quality estimator at scale (NEE at 10k AND the 100k spec point —
     # the streamed HBM adjoint lifted the fused quality VJP past the
-    # old 32k cap in round 4; ~1000 lights at 100k, under LIGHT_MAX)
+    # old 32k cap in round 4; ~1000 lights at 100k, under LIGHT_MAX).
+    # The 100k lines run a half-height frame: the full-frame quality
+    # launches measure 45-53 s on v5e, inside the ~60 s worker-kill
+    # band — rates are resolution-independent (compute-bound; the same
+    # argument the measured spp-linearity table pins for spp).
     for t_stress in (10_000, 100_000):
         stress = procedural_scene(t_stress, seed=0,
                                   emissive_fraction=0.01)
         label = f"{t_stress // 1000}k"
-        bench.run(f"stress {label} fwd quality NEE+MIS 1080p spp2"
+        qscfg = sqcfg if t_stress <= 10_000 else sqcfg.replace(height=540)
+        n_qs = qscfg.width * qscfg.height * qscfg.spp * qscfg.max_bounces
+        geom = "1080p" if t_stress <= 10_000 else "1920x540"
+        bench.run(f"stress {label} fwd quality NEE+MIS {geom} spp2"
                   " [streamed]",
-                  lambda s=stress: sync(fwd(s, cam, sqcfg, 1)), n=2,
-                  rays=n_s)
-        b = make_bwd(render_radiance_fastgrad, sqcfg)
-        bench.run(f"stress {label} fwd+bwd quality NEE+MIS 1080p spp2"
+                  lambda s=stress, c=qscfg: sync(fwd(s, cam, c, 1)),
+                  n=2, rays=n_qs)
+        b = make_bwd(render_radiance_fastgrad, qscfg)
+        bench.run(f"stress {label} fwd+bwd quality NEE+MIS {geom} spp2"
                   " [streamed]",
-                  lambda b=b, s=stress: b(s, cam), n=2, rays=n_s)
+                  lambda b=b, s=stress: b(s, cam), n=2, rays=n_qs)
 
     # The spec point itself, once: 10k tris, 1080p-area, spp=64,
     # fwd+bwd. Run as FOUR 1920x270 slices: a single full-frame spp64

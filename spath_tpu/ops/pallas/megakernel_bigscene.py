@@ -64,12 +64,10 @@ _ACOLS = 16
 
 #: forward cap — HBM-bound only; kept finite for padding sanity.
 BIG_MAX_TRIS = 1 << 20
-#: backward cap — the (16, Tp) f32 adjoint accumulator lives in the
-#: revisited output block (no duplicate scratch since round 3), so the
-#: VMEM bill is Tp x 64 B: 8 MB at 128k, which together with the
-#: (4·TILE_T, TILE_R) sweep intermediates fills the ~16 MB budget.
-#: BASELINE config 4's 100k-triangle point fits under this cap.
-BIG_GRAD_MAX_TRIS = 131072
+#: backward cap == forward cap (round 4): the (16, Tp) adjoint streams
+#: through HBM blocks (``stream_scatter_rmw``), so nothing in VMEM
+#: scales with T — the round-3 131072 VMEM-residency cap is gone.
+BIG_GRAD_MAX_TRIS = BIG_MAX_TRIS
 
 
 def _hilo(x):
@@ -238,6 +236,88 @@ def _sweep(ox, oy, oz, dx, dy, dz, src, gfeat_hbm, attrs_hbm, gbuf, abuf,
 def _shade_rows(attr_rows):
     """Split gathered attribute rows into per-quantity (1, R) rows."""
     return [attr_rows[c:c + 1, :] for c in range(9)]
+
+
+def zero_hbm_blocks(gtab, rwbuf, rwsems, n_blocks: int, tile_t: int):
+    """Zero an ``(rows, n_blocks·tile_t)`` HBM accumulator by writing a
+    zeroed VMEM tile over every block (call once, at grid step 0)."""
+    rwbuf[0] = jnp.zeros_like(rwbuf[0])
+
+    def zbody(j, _):
+        w = pltpu.make_async_copy(
+            rwbuf.at[0], gtab.at[:, pl.ds(j * tile_t, tile_t)],
+            rwsems.at[0, 1])
+        w.start()
+        w.wait()
+        return 0
+
+    lax.fori_loop(0, n_blocks, zbody, 0)
+
+
+def stream_scatter_rmw(gtab, rwbuf, rwsems, events, n_blocks: int,
+                       tile_t: int, r: int):
+    """One double-buffered read-modify-write pass over the HBM adjoint
+    blocks, scattering every event while each block is VMEM-resident.
+
+    ``events``: list of ``(terms, idx_col)`` with ``terms`` a tuple of
+    bf16 split matrices ``(rows, R)`` (2-way or 3-way exact splits) and
+    ``idx_col`` the ``(R, 1)`` int32 target index (-1 = no scatter).
+    Per block ``j`` the accumulated piece is
+    ``Σ_events Σ_terms term @ onehot_j`` — the MXU is the scatter
+    engine; the read/compute/write of consecutive blocks overlap.
+    Shared by the conformance and quality streamed backward kernels
+    (``megakernel_bigscene_grad`` / ``megakernel_bigscene_quality``).
+    """
+    def rd(slot, j):
+        return pltpu.make_async_copy(
+            gtab.at[:, pl.ds(j * tile_t, tile_t)], rwbuf.at[slot],
+            rwsems.at[slot, 0])
+
+    def wr(slot, j):
+        return pltpu.make_async_copy(
+            rwbuf.at[slot], gtab.at[:, pl.ds(j * tile_t, tile_t)],
+            rwsems.at[slot, 1])
+
+    def piece_for(j):
+        acc = None
+        for terms, idx_col in events:
+            onehot = (
+                (jax.lax.broadcasted_iota(jnp.int32, (r, tile_t), 1)
+                 + j * tile_t) == idx_col
+            ).astype(jnp.bfloat16)
+            for term in terms:
+                p = jnp.dot(term, onehot,
+                            preferred_element_type=jnp.float32)
+                acc = p if acc is None else acc + p
+        return acc
+
+    rd(0, 0).start()
+
+    def body(j, _):
+        slot = lax.rem(j, 2)
+        nxt = lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < n_blocks)
+        def _pref():
+            # slot `nxt` was written back at step j-1; its write must
+            # land before the next read overwrites the buffer
+            @pl.when(j >= 1)
+            def _():
+                wr(nxt, j - 1).wait()
+
+            rd(nxt, j + 1).start()
+
+        piece = piece_for(j)
+        rd(slot, j).wait()
+        rwbuf[slot] = rwbuf[slot] + piece
+        wr(slot, j).start()
+        return 0
+
+    lax.fori_loop(0, n_blocks, body, 0)
+    # drain: in-loop waits covered writes 0..n_blocks-3
+    if n_blocks >= 2:
+        wr((n_blocks - 2) % 2, n_blocks - 2).wait()
+    wr((n_blocks - 1) % 2, n_blocks - 1).wait()
 
 
 def _bigscene_walk(rays, seeds, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,

@@ -14,10 +14,15 @@ lanes at 16k triangles would be gigabytes):
     per streamed block: ``gacc[j] += onehotᵀ(TILE_T, R) @ contribs`` —
     the MXU is the scatter engine, mirroring how the forward uses it as
     the gather engine;
-  * the ``(Tp, 16)`` adjoint accumulator stays VMEM-resident per tile
-    (``BIG_GRAD_MAX_TRIS`` = 16k → 1 MB) and accumulates across the
-    grid into a constant-index output block, reduced across devices by
-    the shard_map psum when sharded.
+  * the ``(16, Tp)`` adjoint accumulator is STREAMED through HBM
+    (round 4, same design as ``megakernel_bigscene_quality``): each
+    sample's per-bounce contribution events are collected, then one
+    double-buffered read-modify-write pass over the adjoint's
+    ``(16, TILE_T)`` HBM blocks scatters all of them while each block
+    is VMEM-resident (``megakernel_bigscene.stream_scatter_rmw``).
+    Nothing in VMEM scales with T, so the VJP cap equals the forward
+    cap; across devices the table adjoint is still reduced by the
+    shard_map psum when sharded.
 
 The geometry-feature table gets a ZERO cotangent by the same argument
 that makes ``megakernel_grad``'s v0/e1/e2 adjoints exact zeros (verified
@@ -62,8 +67,13 @@ def supported_grad(scene, cfg: RenderConfig) -> bool:
 
 
 def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
-                         grays, gbuf, abuf, sems, *,
+                         grays, gbuf, abuf, sems, rwbuf, rwsems, *,
                          cfg: RenderConfig, n_blocks: int, fast: bool):
+    from spath_tpu.ops.pallas.megakernel_bigscene import (
+        stream_scatter_rmw,
+        zero_hbm_blocks,
+    )
+
     sweep = functools.partial(
         _sweep, gfeat_hbm=gfeat_hbm, attrs_hbm=attrs_hbm,
         gbuf=gbuf, abuf=abuf, sems=sems, n_blocks=n_blocks, fast=fast,
@@ -82,12 +92,11 @@ def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
     nb = cfg.max_bounces
     zrow = jnp.zeros_like(ox0)
 
-    # Accumulate directly into the revisited constant-index output block
-    # (zeroed once at grid step 0): no duplicate scratch buffer, which
-    # halves the accumulator VMEM and funds the 16k -> 128k T cap.
+    # The (16, Tp) adjoint lives in HBM, rmw-streamed per sample
+    # (module docstring); zeroed once at grid step 0.
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        gtab[...] = jnp.zeros_like(gtab)
+        zero_hbm_blocks(gtab, rwbuf, rwsems, n_blocks, TILE_T)
 
     def sample_body(_, seed):
         # ---- forward replay (bit-identical to the forward kernel) ----
@@ -141,6 +150,7 @@ def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
 
         # ---- reverse sweep (thr-bar recursion; position chain is
         # identically zero — megakernel_grad._bwd_tile docstring) ----
+        events = []
         tb_r, tb_g, tb_b = zrow, zrow, zrow
         for bounce in reversed(range(nb)):
             (idx, hit, tr_r, tr_g, tr_b,
@@ -172,34 +182,19 @@ def _bigscene_bwd_kernel(rays, seeds, gfeat_hbm, attrs_hbm, gbar, gtab,
                 axis=0,
             )
 
-            # MXU scatter-add: per block,
+            # MXU scatter-add event: per block,
             # gacc[:, j] += contribs (ACOLS, R) @ onehot (R, TILE_T).
             # Misses are masked by a -1 index sentinel (int32 transpose;
-            # Mosaic cannot transpose i1 vectors).
-            idx_col = jnp.where(hit, idx, -1).T           # (R, 1)
+            # Mosaic cannot transpose i1 vectors). hi/lo-split contribs
+            # against an exactly-representable bf16 one-hot: each
+            # scattered value keeps ~16 mantissa bits (vs 8 single-pass)
+            # at 1/3 the HIGHEST-precision matmul cost — far below the
+            # Monte-Carlo noise floor of the gradient estimate itself.
+            events.append((_hilo(contribs),
+                           jnp.where(hit, idx, -1).T))   # (R, 1)
 
-            # hi/lo-split contribs against an exactly-representable
-            # bf16 one-hot: each scattered value keeps ~16 mantissa
-            # bits (vs 8 single-pass) at 1/3 the HIGHEST-precision
-            # matmul cost — far below the Monte-Carlo noise floor of
-            # the gradient estimate itself.
-            c_hi, c_lo = _hilo(contribs)
-
-            def scatter(j, _):
-                onehot = (
-                    (jax.lax.broadcasted_iota(jnp.int32, (r, TILE_T), 1)
-                     + j * TILE_T) == idx_col
-                ).astype(jnp.bfloat16)
-                piece = (
-                    jnp.dot(c_hi, onehot,
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(c_lo, onehot,
-                              preferred_element_type=jnp.float32)
-                )
-                gtab[:, pl.ds(j * TILE_T, TILE_T)] += piece
-                return 0
-
-            lax.fori_loop(0, n_blocks, scatter, 0)
+        stream_scatter_rmw(gtab, rwbuf, rwsems, events, n_blocks,
+                           TILE_T, r)
         return seed
 
     lax.fori_loop(0, cfg.spp, sample_body, seeds[0:1, :])
@@ -232,8 +227,8 @@ def bigscene_bwd_call(rays, seeds, gfeat, attrs, gbar, cfg: RenderConfig,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_ACOLS, tp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            # whole-buffer HBM adjoint, rmw-streamed by the kernel
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -245,6 +240,8 @@ def bigscene_bwd_call(rays, seeds, gfeat, attrs, gbar, cfg: RenderConfig,
             pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.bfloat16),
             pltpu.VMEM((2, _ACOLS, TILE_T), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, _ACOLS, TILE_T), jnp.float32),   # rmw bufs
+            pltpu.SemaphoreType.DMA((2, 2)),                # rmw sems
         ],
     )(rays, seeds, gfeat, attrs, gbar)
 

@@ -87,11 +87,11 @@ from spath_tpu.ops.pallas.megakernel_quality import (
     quality_table,
 )
 
-#: rays per grid step. Smaller than the conformance kernel's 1024: the
-#: fused shadow+next sweep doubles the (4·TILE_T, 2R) matmul result and
-#: the backward adds the (32, Tp) adjoint block — 512 keeps the whole
-#: backward under the ~16 MB VMEM budget at the grad cap.
-TILE_RQ = 512
+#: rays per grid step. Was 512 while the backward kept a (32, Tp)
+#: adjoint block VMEM-resident; with the adjoint streamed through HBM
+#: (round 4) nothing scales with T and 1024 fits the budget again —
+#: measured +7-8% on fwd+bwd at 10k/100k, neutral on forward.
+TILE_RQ = 1024
 #: attribute-table rows: n(0:3) albedo(3:6) emission(6:9) prob(9)
 #: area(10) v0(11:14) e1(14:17) e2(17:20) pad(20:32). Geometry columns
 #: exist so the backward replay can anchor the analytic distance VJP
@@ -336,36 +336,23 @@ def _bigq_bwd_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbar, gtab,
 
     # The (32, Tp) adjoint lives in HBM (module docstring): per-sample,
     # all contribution events scatter into each (32, TILE_T) block
-    # while it is VMEM-resident in a double-buffered rmw pass.
-    def rd(slot, j):
-        return pltpu.make_async_copy(
-            gtab.at[:, pl.ds(j * TILE_T, TILE_T)], rwbuf.at[slot],
-            rwsems.at[slot, 0])
-
-    def wr(slot, j):
-        return pltpu.make_async_copy(
-            rwbuf.at[slot], gtab.at[:, pl.ds(j * TILE_T, TILE_T)],
-            rwsems.at[slot, 1])
+    # while it is VMEM-resident in a double-buffered rmw pass
+    # (``megakernel_bigscene.stream_scatter_rmw``).
+    from spath_tpu.ops.pallas.megakernel_bigscene import (
+        stream_scatter_rmw,
+        zero_hbm_blocks,
+    )
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        rwbuf[0] = jnp.zeros_like(rwbuf[0])
-
-        def zbody(j, _):
-            w = wr(0, j)
-            w.start()
-            w.wait()
-            return 0
-
-        lax.fori_loop(0, n_blocks, zbody, 0)
+        zero_hbm_blocks(gtab, rwbuf, rwsems, n_blocks, TILE_T)
 
     def contrib(rows, sentinel):
         """One scatter event: hi/mid/lo-split (32, R) contribution rows
         (attrs layout) + the (R, 1) target-index sentinel column."""
         cmat = jnp.concatenate(
             list(rows) + [zrow] * (_AQCOLS - len(rows)), axis=0)
-        hi, mid, lo = _split3(cmat)
-        return hi, mid, lo, sentinel.T
+        return _split3(cmat), sentinel.T
 
     def sample_body(s, gry):
         gry = list(gry)
@@ -392,51 +379,8 @@ def _bigq_bwd_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbar, gtab,
             tb = rb["tb"]
 
         # --- streamed rmw scatter pass over the adjoint blocks ---
-        def piece_for(j):
-            acc = None
-            for hi, mid, lo, idx_col in events:
-                onehot = (
-                    (jax.lax.broadcasted_iota(jnp.int32, (r, TILE_T), 1)
-                     + j * TILE_T) == idx_col
-                ).astype(jnp.bfloat16)
-                p = (
-                    jnp.dot(hi, onehot,
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(mid, onehot,
-                              preferred_element_type=jnp.float32)
-                    + jnp.dot(lo, onehot,
-                              preferred_element_type=jnp.float32)
-                )
-                acc = p if acc is None else acc + p
-            return acc
-
-        rd(0, 0).start()
-
-        def body(j, _):
-            slot = lax.rem(j, 2)
-            nxt = lax.rem(j + 1, 2)
-
-            @pl.when(j + 1 < n_blocks)
-            def _pref():
-                # slot `nxt` was written back at step j-1; its write
-                # must land before the next read overwrites the buffer
-                @pl.when(j >= 1)
-                def _():
-                    wr(nxt, j - 1).wait()
-
-                rd(nxt, j + 1).start()
-
-            piece = piece_for(j)
-            rd(slot, j).wait()
-            rwbuf[slot] = rwbuf[slot] + piece
-            wr(slot, j).start()
-            return 0
-
-        lax.fori_loop(0, n_blocks, body, 0)
-        # drain: in-loop waits covered writes 0..n_blocks-3
-        if n_blocks >= 2:
-            wr((n_blocks - 2) % 2, n_blocks - 2).wait()
-        wr((n_blocks - 1) % 2, n_blocks - 1).wait()
+        stream_scatter_rmw(gtab, rwbuf, rwsems, events, n_blocks,
+                           TILE_T, r)
         return tuple(gry)
 
     gry = lax.fori_loop(0, cfg.spp, sample_body, (zrow,) * 6)
