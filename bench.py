@@ -240,7 +240,11 @@ def main():
         ("fwd+bwd conformance 1080p64 [compact fused]", cfg),
         ("fwd+bwd quality NEE+MIS 1080p64 [compact fused]", qcfg),
     ):
-        plan = make_compact_plan(scene, cam, c)
+        try:
+            plan = make_compact_plan(scene, cam, c)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            _log(f"{name}: PLAN FAILED {type(e).__name__}: {e}")
+            continue
         b = make_bwd(
             lambda s, cm, cc, sd, plan=plan:
                 render_radiance_compact_grad(s, cm, cc, sd, plan=plan),

@@ -100,40 +100,64 @@ def _any_hit_relaxed(o, d, v0, v1, v2, block: int = 512):
     )
     from jax import lax
 
+    # Matmul outputs MATERIALIZE: at N rays × (4·block) columns the
+    # per-step dot output is N·4·block·4 B — 16 GB at 2M×512, the HBM
+    # OOM measured in round 4. Bound both factors: shrink the triangle
+    # block to T when T is small (no padding waste — the 7-tri frame
+    # costs a (N, 28) dot), and chunk the rays so each dot output is
+    # ≤ ray_chunk·4·block·4 B ≈ 1 GB transient.
+    t = v0.shape[0]
+    block = min(block, t)
+    ray_chunk = 131072
     (v0p, v1p, v2p), _ = _pad_tris([v0, v1, v2], block)
     n = o.shape[0]
-    m = jnp.cross(o, d)
-    rays10 = jnp.concatenate(
-        [d, m, o, jnp.ones((n, 1), jnp.float32)], axis=1)
     feats = pluecker_features(v0p, v1p, v2p)       # (10, 4·Tp)
     nblk = v0p.shape[0] // block
     fb = feats.T.reshape(nblk, block * 4, 10)
     mg = np.float32(_MARGIN)
     eps_lo = np.float32(float(_EPS) * (1.0 - _MARGIN))
 
-    def body(any_live, fblk):
-        quads = jnp.dot(
-            rays10, fblk.T, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        ).reshape(n, block, 4)
-        a, u_num, v_num, d_num = (
-            quads[..., 0], quads[..., 1], quads[..., 2], quads[..., 3])
-        abs_a = jnp.abs(a)
-        s = jnp.sign(a)
-        us, vs, ds = u_num * s, v_num * s, d_num * s
-        slack = mg * (abs_a + jnp.abs(us) + jnp.abs(vs))
-        ok = (
-            (abs_a >= eps_lo)
-            & (us >= -slack) & (vs >= -slack)
-            & (us + vs <= abs_a + slack)
-            & (ds > _EPS * abs_a - slack)
-            & (ds < _INV_EPS * abs_a + mg * jnp.abs(ds))
-        )
-        return any_live | jnp.any(ok, axis=1), None
+    def live_chunk(args):
+        oc, dc = args
+        m = jnp.cross(oc, dc)
+        rays10 = jnp.concatenate(
+            [dc, m, oc, jnp.ones((oc.shape[0], 1), jnp.float32)],
+            axis=1)
 
-    live0 = jnp.zeros(n, bool)
-    live, _ = lax.scan(body, live0, fb)
-    return live
+        def body(any_live, fblk):
+            quads = jnp.dot(
+                rays10, fblk.T, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            ).reshape(oc.shape[0], block, 4)
+            a, u_num, v_num, d_num = (
+                quads[..., 0], quads[..., 1], quads[..., 2],
+                quads[..., 3])
+            abs_a = jnp.abs(a)
+            s = jnp.sign(a)
+            us, vs, ds = u_num * s, v_num * s, d_num * s
+            slack = mg * (abs_a + jnp.abs(us) + jnp.abs(vs))
+            ok = (
+                (abs_a >= eps_lo)
+                & (us >= -slack) & (vs >= -slack)
+                & (us + vs <= abs_a + slack)
+                & (ds > _EPS * abs_a - slack)
+                & (ds < _INV_EPS * abs_a + mg * jnp.abs(ds))
+            )
+            return any_live | jnp.any(ok, axis=1), None
+
+        live0 = jnp.zeros(oc.shape[0], bool)
+        live, _ = lax.scan(body, live0, fb)
+        return live
+
+    if n <= ray_chunk:
+        return live_chunk((o, d))
+    pad = (-n) % ray_chunk
+    op = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+    dp = jnp.concatenate([d, jnp.zeros((pad, 3), jnp.float32)])
+    k = (n + pad) // ray_chunk
+    live = lax.map(live_chunk, (op.reshape(k, ray_chunk, 3),
+                                dp.reshape(k, ray_chunk, 3)))
+    return live.reshape(-1)[:n]
 
 
 @partial(jax.jit, static_argnames=("cfg", "lane_multiple"))
