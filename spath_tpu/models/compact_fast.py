@@ -383,6 +383,63 @@ def render_radiance_compact_fused(scene, camera, cfg: RenderConfig,
                 plan.padded, kernel)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _take_prefix(x, sel, inv, padded: int):
+    """``x[:, sel[:padded]]`` with a GATHER transpose.
+
+    ``sel``/``inv`` are a lane permutation and its inverse, so the
+    autodiff transpose (an XLA scatter-add at 2M indices — ~10× slower
+    than a gather on TPU, measured in BENCH_r04's first compact fwd+bwd
+    line) is replaced by the exact inverse gather: lane j's cotangent
+    is the packed slot ``inv[j]``'s cotangent, or zero past the prefix.
+    """
+    return x[:, sel[:padded]]
+
+
+def _take_prefix_fwd(x, sel, inv, padded):
+    return x[:, sel[:padded]], (sel, inv)
+
+
+def _take_prefix_bwd(padded, res, g):
+    sel, inv = res
+    g_ext = jnp.concatenate(
+        [g, jnp.zeros((g.shape[0], 1), g.dtype)], axis=1)
+    gx = jnp.take(g_ext, jnp.minimum(inv, padded), axis=1)
+    return gx, None, None
+
+
+_take_prefix.defvjp(_take_prefix_fwd, _take_prefix_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _unpack_rows(rows_ext, inv, sel, padded: int):
+    """``rows_ext[:, min(inv, padded)]`` (packed slots → lanes; slot
+    ``padded`` is the appended zero column) with a GATHER transpose:
+    slot s < padded is read by exactly one lane (``sel[s]``), so its
+    cotangent is that lane's — no scatter (see ``_take_prefix``)."""
+    return jnp.take(rows_ext, jnp.minimum(inv, padded), axis=1)
+
+
+def _unpack_rows_fwd(rows_ext, inv, sel, padded):
+    return jnp.take(rows_ext, jnp.minimum(inv, padded), axis=1), \
+        (inv, sel, rows_ext.shape[1])
+
+
+def _unpack_rows_bwd(padded, res, g):
+    inv, sel, ncols = res
+    grows = jnp.take(g, sel[:padded], axis=1)
+    # every dropped lane reads the single appended column (index
+    # `padded`): its cotangent is the masked row-sum, exact (and in the
+    # caller it flows into a jnp.zeros constant, i.e. nowhere)
+    last = jnp.sum(jnp.where(inv[None, :] >= padded, g, 0.0),
+                   axis=1, keepdims=True)
+    assert ncols == padded + 1
+    return jnp.concatenate([grows, last], axis=1), None, None
+
+
+_unpack_rows.defvjp(_unpack_rows_fwd, _unpack_rows_bwd)
+
+
 @partial(jax.jit, static_argnames=("cfg", "padded", "kernel"))
 def _run_grad(scene, camera, sel, inv, seed, cfg: RenderConfig,
               padded: int, kernel: str):
@@ -399,8 +456,8 @@ def _run_grad(scene, camera, sel, inv, seed, cfg: RenderConfig,
 
     lanes = _lane_multiple(kernel)
     rays, pix, _ = pack_rays(camera, cfg, 0, lane_multiple=lanes)
-    rays_c = rays[:, sel][:, :padded]
-    pix_c = pix[:, sel][:, :padded]
+    rays_c = _take_prefix(rays, sel, inv, padded)
+    pix_c = pix[:, sel[:padded]]            # int: no gradient path
     fast = cfg.intersect == "pallas_fast"
     if kernel == "quality":
         from spath_tpu.ops.pallas.megakernel_quality import (
@@ -447,7 +504,7 @@ def _run_grad(scene, camera, sel, inv, seed, cfg: RenderConfig,
                          scene.n_tris)
     rows_ext = jnp.concatenate(
         [rows, jnp.zeros((4, 1), jnp.float32)], axis=1)
-    full = jnp.take(rows_ext, jnp.minimum(inv, padded), axis=1)
+    full = _unpack_rows(rows_ext, inv, sel, padded)
     n = cfg.width * cfg.height
     return full[:3, :n].T.reshape(cfg.height, cfg.width, 3)
 
