@@ -156,6 +156,28 @@ def test_compact_plan_reused_across_seeds(scene7):
             assert (got == want).all(), seed
 
 
+def test_plan_cache_value_keyed(scene7):
+    """A caller that rebuilds an EQUAL Scene/Camera every frame reuses
+    the cached plan via the value fingerprint instead of silently
+    rebuilding (round-3 review item on the identity-keyed cache)."""
+    from spath_tpu.models import compact_fast as cf
+    from spath_tpu.scene import make_scene
+
+    cfg = _cfg()
+    cam = Camera.default()
+    with pltpu.force_tpu_interpret_mode():
+        p1 = cf._cached_plan(scene7, cam, cfg, 1024)
+        assert cf._cached_plan(scene7, cam, cfg, 1024) is p1
+        rebuilt = make_scene(
+            jnp.asarray(np.asarray(scene7.vertices)),
+            jnp.asarray(np.asarray(scene7.albedo)),
+            jnp.asarray(np.asarray(scene7.emission)))
+        assert cf._cached_plan(rebuilt, Camera.default(), cfg,
+                               1024) is p1
+        moved = cam.move_relative(jnp.asarray([0.3, 0.0, 0.0]))
+        assert cf._cached_plan(scene7, moved, cfg, 1024) is not p1
+
+
 def test_compact_all_dead_view(scene7):
     """Camera turned away: every lane misses → exact zeros, no launch."""
     cfg = _cfg()
