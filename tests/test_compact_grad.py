@@ -121,6 +121,24 @@ def test_compact_grad_jittable_with_plan(scene7):
     assert np.abs(g_eager).max() > 0.0
 
 
+def test_plan_survives_appearance_change(scene7):
+    """The documented contract: appearance-only training (albedo or
+    emission values move, geometry fixed) never stales a plan — the
+    compacted render stays bit-equal to full-frame under the ORIGINAL
+    plan with modified materials."""
+    cfg = _cfg()
+    cam = Camera.default()
+    full = _full_grad_fn(cfg)
+    with pltpu.force_tpu_interpret_mode():
+        plan = make_compact_plan(scene7, cam, cfg, pad_multiple=PAD)
+        mod = Scene(scene7.vertices, scene7.albedo * 0.5,
+                    scene7.emission * 2.0, light_idx=scene7.light_idx)
+        want = np.asarray(full(mod, cam, cfg, 7))
+        got = np.asarray(render_radiance_compact_grad(
+            mod, cam, cfg, 7, plan=plan))
+    assert (got == want).all(), np.abs(got - want).max()
+
+
 def test_fastgrad_routes_compact_when_eager(scene7, monkeypatch):
     """render_radiance_fastgrad: eager concrete inputs route to the
     compacted VJP; traced inputs route around it (plan host sync)."""
