@@ -25,12 +25,16 @@ fused path. The plan itself costs one extra dispatch + one host-scalar
 fetch (the live count — the only dynamic shape, bucketed to
 ``PAD_MULTIPLE`` so camera motion rarely recompiles the kernel).
 TPU-shaped choices throughout: the live-first permutation comes from
-two ``cumsum`` scans and one ``nonzero`` gather (no sort), and the
-frame is reassembled with a ``take`` gather (XLA scatters are slow on
-TPU).
+two ``cumsum`` scans (no sort), the frame is reassembled with a
+``take`` gather, and the differentiable path's permutation transposes
+are custom-VJP inverse GATHERS (``_take_prefix``/``_unpack_rows``) —
+XLA scatters are ~10× slower than gathers on TPU.
 
-Forward/serving only — the training paths keep the jittable full-frame
-custom-VJP kernels. The reference has no analog (it always traces every
+Round 4 adds TRAINING: ``render_radiance_compact_grad`` runs the
+custom-VJP kernels on the live prefix — jittable with an explicit
+plan, differentiable w.r.t. scene and camera, gradients identical to
+the full-frame kernels (dropped lanes contribute zero to every
+adjoint chain). The reference has no analog (it always traces every
 pixel, ``src/cpu_renderer.cpp:30-68``); this is a beyond-parity
 optimization in the spirit of its persistent frame buffers
 (``src/cl_renderer.cpp``).
