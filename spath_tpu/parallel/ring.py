@@ -41,6 +41,66 @@ from spath_tpu.ops.intersect import nearest_hit
 _BIG = np.float32(MAX_DIST)
 
 
+def _dist_from_rows(o, d, rows9, idx):
+    """Differentiable Möller–Trumbore distance of each ray to its WINNER
+    triangle, taken from the carried row (``rows9`` = the winner's
+    ``[v0, v1, v2]`` columns) instead of a table gather.
+
+    Same float expressions as ``ops.intersect._dist_selected`` (the
+    replicated path's O(N) backward), so ring grads match replicated
+    grads term-for-term; only the cross-device accumulation order
+    differs."""
+    a0, b0, c0 = rows9[:, 0:3], rows9[:, 3:6], rows9[:, 6:9]
+    e1 = b0 - a0
+    e2 = c0 - a0
+    h = jnp.cross(d, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = jnp.float32(1.0) / jnp.where(jnp.abs(a) > 0.0, a, jnp.float32(1.0))
+    s = o - a0
+    q = jnp.cross(s, e1)
+    dist = f * jnp.sum(e2 * q, axis=-1)
+    return jnp.where(idx >= 0, dist, _BIG)
+
+
+def ring_scatter_rows(pairs, size: int, axis_name: str) -> jax.Array:
+    """Transpose of the ring row gathers: accumulate per-ray row
+    cotangents into the RING-SHARDED table's adjoint.
+
+    ``pairs``: list of ``(g (N, k), global_idx (N,))`` contributions
+    (cotangents and the global row each ray touched). Returns the
+    ``(size, k)`` adjoint of THIS device's original table shard.
+
+    This is the triangle-sharded backward the forward's decomposition
+    implies: the adjoint of the table is an associative sum of per-ray
+    scatter contributions, so a ``(size, k)`` accumulator rides the ring
+    once — at each step every device adds its local scatter for the
+    accumulator's owner, and after S rotations each accumulator lands
+    back on its owner holding the full cross-device sum. Collective
+    traffic equals ONE forward table rotation; per-device memory stays
+    O(T/S). Reference point: the rays×triangles reduction of
+    ``src/render.comp:104-121`` under the SURVEY.md §5 ring
+    decomposition, now for the backward pass."""
+    n_shards = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    k = pairs[0][0].shape[1]
+    acc = jnp.zeros((size, k), jnp.float32)
+    for step in range(n_shards):
+        # the accumulator resident here at step t started on device
+        # me - t and is labeled with owner (start - 1) mod S, so after
+        # the final step the owner-me accumulator sits on device me
+        owner = (me - step - 1) % n_shards
+        base = (owner * size).astype(jnp.int32)
+        for g, gi in pairs:
+            local = gi - base
+            mine = (local >= 0) & (local < size)
+            lc = jnp.clip(local, 0, size - 1)
+            acc = acc.at[lc].add(jnp.where(mine[:, None], g, 0.0))
+        if step + 1 < n_shards:
+            acc = lax.ppermute(acc, axis_name, perm)
+    return acc
+
+
 def _take_mask(best_d, best_i, new_d, new_i):
     """Associative (min-distance, lowest-index-tie-break) take mask."""
     return (new_d < best_d) | (
@@ -186,7 +246,47 @@ def nearest_hit_ring_rows(
     the resident shard's candidate row locally and keeps it only where
     that shard wins the reduction. Vertex columns are ``tri_table[:,
     0:9]``. Returns ``(dist, global_idx, rows)``.
+
+    DIFFERENTIABLE with a custom VJP whose residuals are O(N) (the
+    winner rows — never the rotated shards, which plain autodiff of the
+    unrolled loop would save, costing O(T) per device and defeating the
+    sharding): the distance adjoint is the replicated path's O(N)
+    selected-triangle chain evaluated on the carried row, and row
+    cotangents ring-reduce back to the sharded table via
+    ``ring_scatter_rows``.
     """
+    return _ring_rows_p(o, d, tri_table, src_idx, cfg, axis_name,
+                        tri_table.shape[0])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ring_rows_p(o, d, tri_table, src_idx, cfg, axis_name, size):
+    return _ring_rows_impl(o, d, tri_table, src_idx, cfg, axis_name)
+
+
+def _ring_rows_fwd(o, d, tri_table, src_idx, cfg, axis_name, size):
+    out = _ring_rows_impl(o, d, tri_table, src_idx, cfg, axis_name)
+    dist, idx, rows = out
+    return out, (o, d, idx, rows)
+
+
+def _ring_rows_bwd(cfg, axis_name, size, res, cots):
+    o, d, idx, rows = res
+    g_dist, _g_idx, g_rows = cots
+    _, vjp = jax.vjp(
+        lambda o_, d_, r_: _dist_from_rows(o_, d_, r_, idx),
+        o, d, rows[:, 0:9])
+    go, gd, gr9 = vjp(g_dist)
+    g_rows = g_rows.at[:, 0:9].add(gr9)
+    g_table = ring_scatter_rows(
+        [(g_rows, jnp.maximum(idx, 0))], size, axis_name)
+    return go, gd, g_table, None
+
+
+_ring_rows_p.defvjp(_ring_rows_fwd, _ring_rows_bwd)
+
+
+def _ring_rows_impl(o, d, tri_table, src_idx, cfg, axis_name):
     n_shards = lax.axis_size(axis_name)
     me = lax.axis_index(axis_name)
     shard_size = tri_table.shape[0]
@@ -233,7 +333,43 @@ def ring_light_select_rows(tri_table, u_sel, n_tris: int, axis_name: str,
     crossing then lands on a padding row, cdf 2.0), the clip semantics
     select global row ``n_tris - 1``, whose row is captured as it
     passes by (its owner shard is static).
+
+    DIFFERENTIABLE with a custom VJP (see ``nearest_hit_ring_rows``):
+    selection is detached (matching ``ops/nee.py``'s stop-gradient on
+    the categorical draw), row cotangents ring-reduce to the sharded
+    table at the selected global index.
     """
+    return _ring_select_p(tri_table, u_sel, n_tris, axis_name,
+                          prob_col, cdf_col, tri_table.shape[0])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _ring_select_p(tri_table, u_sel, n_tris, axis_name, prob_col,
+                   cdf_col, size):
+    return _ring_select_impl(tri_table, u_sel, n_tris, axis_name,
+                             prob_col, cdf_col)
+
+
+def _ring_select_fwd(tri_table, u_sel, n_tris, axis_name, prob_col,
+                     cdf_col, size):
+    li, rows = _ring_select_impl(tri_table, u_sel, n_tris, axis_name,
+                                 prob_col, cdf_col)
+    return (li, rows), (li,)
+
+
+def _ring_select_bwd(n_tris, axis_name, prob_col, cdf_col, size, res,
+                     cots):
+    (li,) = res
+    _g_li, g_rows = cots
+    g_table = ring_scatter_rows([(g_rows, li)], size, axis_name)
+    return g_table, jnp.zeros(li.shape, jnp.float32)
+
+
+_ring_select_p.defvjp(_ring_select_fwd, _ring_select_bwd)
+
+
+def _ring_select_impl(tri_table, u_sel, n_tris: int, axis_name: str,
+                      prob_col: int, cdf_col: int):
     n_shards = lax.axis_size(axis_name)
     me = lax.axis_index(axis_name)
     size = tri_table.shape[0]
@@ -296,7 +432,50 @@ def nearest_and_select_ring(
     construction.
 
     Returns ``(dist, global_idx, winner_rows, light_idx, light_rows)``.
+
+    DIFFERENTIABLE with a custom VJP (see ``nearest_hit_ring_rows``):
+    both row cotangents (winner + light) share ONE adjoint ring cycle,
+    mirroring the forward's shared rotation.
     """
+    return _ring_sweepsel_p(o, d, tri_table, src_idx, u_sel, n_tris,
+                            cfg, axis_name, prob_col, cdf_col,
+                            tri_table.shape[0])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _ring_sweepsel_p(o, d, tri_table, src_idx, u_sel, n_tris, cfg,
+                     axis_name, prob_col, cdf_col, size):
+    return _ring_sweepsel_impl(o, d, tri_table, src_idx, u_sel, n_tris,
+                               cfg, axis_name, prob_col, cdf_col)
+
+
+def _ring_sweepsel_fwd(o, d, tri_table, src_idx, u_sel, n_tris, cfg,
+                       axis_name, prob_col, cdf_col, size):
+    out = _ring_sweepsel_impl(o, d, tri_table, src_idx, u_sel, n_tris,
+                              cfg, axis_name, prob_col, cdf_col)
+    dist, idx, rows, li, lrows = out
+    return out, (o, d, idx, rows, li)
+
+
+def _ring_sweepsel_bwd(n_tris, cfg, axis_name, prob_col, cdf_col, size,
+                       res, cots):
+    o, d, idx, rows, li = res
+    g_dist, _g_idx, g_rows, _g_li, g_lrows = cots
+    _, vjp = jax.vjp(
+        lambda o_, d_, r_: _dist_from_rows(o_, d_, r_, idx),
+        o, d, rows[:, 0:9])
+    go, gd, gr9 = vjp(g_dist)
+    g_rows = g_rows.at[:, 0:9].add(gr9)
+    g_table = ring_scatter_rows(
+        [(g_rows, jnp.maximum(idx, 0)), (g_lrows, li)], size, axis_name)
+    return go, gd, g_table, None, jnp.zeros(li.shape, jnp.float32)
+
+
+_ring_sweepsel_p.defvjp(_ring_sweepsel_fwd, _ring_sweepsel_bwd)
+
+
+def _ring_sweepsel_impl(o, d, tri_table, src_idx, u_sel, n_tris, cfg,
+                        axis_name, prob_col, cdf_col):
     n_shards = lax.axis_size(axis_name)
     me = lax.axis_index(axis_name)
     size = tri_table.shape[0]
@@ -348,7 +527,37 @@ def ring_gather_rows(table_shard: jax.Array, global_idx: jax.Array,
     with ppermute; each ray picks its row when the owning shard passes
     by. This is how per-hit attributes (vertices, albedo, emission) are
     fetched without ever materializing the full table on one device.
+
+    DIFFERENTIABLE with a custom VJP: the transpose of a ring gather is
+    the ring scatter of the row cotangents back to the sharded table
+    (``ring_scatter_rows``) — O(N) residuals, one adjoint rotation.
     """
+    return _ring_gather_p(table_shard, global_idx, axis_name,
+                          table_shard.shape[0])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _ring_gather_p(table_shard, global_idx, axis_name, size):
+    return _ring_gather_impl(table_shard, global_idx, axis_name)
+
+
+def _ring_gather_fwd(table_shard, global_idx, axis_name, size):
+    return _ring_gather_impl(table_shard, global_idx, axis_name), \
+        (global_idx,)
+
+
+def _ring_gather_bwd(axis_name, size, res, cots):
+    (global_idx,) = res
+    # negative (miss) indices fall outside every shard's [base, base+S)
+    # window inside ring_scatter_rows and contribute nowhere — matching
+    # the forward's zero row for them
+    return ring_scatter_rows([(cots, global_idx)], size, axis_name), None
+
+
+_ring_gather_p.defvjp(_ring_gather_fwd, _ring_gather_bwd)
+
+
+def _ring_gather_impl(table_shard, global_idx, axis_name):
     n_shards = lax.axis_size(axis_name)
     me = lax.axis_index(axis_name)
     size = table_shard.shape[0]
@@ -614,8 +823,17 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
                 omega = delta / r[:, None]
                 cos_s = jnp.sum(adj_n * omega, axis=-1)
                 cos_l = jnp.abs(jnp.sum(lunit * omega, axis=-1))
+                # the occlusion sweep contributes only the discrete
+                # `occ` index (its distance is discarded), so in the
+                # replicated path its gradient contribution is exactly
+                # zero (nearest_hit's VJP with a zero distance
+                # cotangent). Detach its inputs here so reverse-mode
+                # never unrolls residuals through the S rotated shards
+                # — same gradients, O(T/S) memory.
+                _sg = lax.stop_gradient
                 _, occ = nearest_hit_ring(
-                    point, omega, v0s, v1s, v2s, safe, cfg, axis_name)
+                    _sg(point), _sg(omega), _sg(v0s), _sg(v1s),
+                    _sg(v2s), safe, cfg, axis_name)
                 valid = (
                     (occ == li) & (lprob > 0) & (cos_s > 0) & (li != safe)
                 )
@@ -679,23 +897,11 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
     return acc * (np.float32(1.0) / np.float32(cfg.spp))
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh", "n_tris"))
-def _render_pt_ring_jit(scene, camera, seed, cfg: RenderConfig,
-                        mesh: Mesh, n_tris: int):
-    # Whole frame in ONE jitted program (see _render_flat_ring_jit:
-    # eager prep outside jit cost ~21 s/frame over the axon tunnel and
-    # was round 3's entire "ring is gather-bound" artifact).
-    from spath_tpu.camera import generate_rays
-
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    o, d = generate_rays(camera, cfg.width, cfg.height)
-    n = o.shape[0]
-    o = _pad_axis0(o, n_dev)
-    d = _pad_axis0(d, n_dev)
-    pixel_ids = _pad_axis0(
-        jnp.arange(n, dtype=jnp.uint32)[:, None], n_dev
-    )[:, 0]
+def _ring_table(scene, cfg: RenderConfig, n_dev: int) -> jax.Array:
+    """The ring-resident per-triangle table ``(Tp, 15|17)``:
+    [v0, v1, v2, albedo, emission (, prob, cdf)], padded to a shard
+    multiple. Differentiable in the scene values (prob/cdf come from
+    ``light_cdf`` already detached — the replicated path's policy)."""
     cols = [scene.v0, scene.v1, scene.v2, scene.albedo, scene.emission]
     if cfg.nee:
         from spath_tpu.ops.nee import light_cdf
@@ -710,6 +916,22 @@ def _render_pt_ring_jit(scene, camera, seed, cfg: RenderConfig,
             # padded rows: prob 0, cdf 2.0 — never selected, never counted
             fill = fill.at[:, 16].set(2.0)
         table = jnp.concatenate([table, fill], axis=0)
+    return table
+
+
+def ring_radiance_from_rays(scene, o, d, pixel_ids, seed,
+                            cfg: RenderConfig, mesh: Mesh, n_tris: int):
+    """Ring-sharded mean radiance on EXPLICIT rays → ``(N, 3)`` rows —
+    the rays-level core (the analog of ``trace_mean_radiance``), used
+    by the frame entries below and by conformance tests that must feed
+    bit-identical rays to ring and replicated paths. Differentiable."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = o.shape[0]
+    o = _pad_axis0(o, n_dev)
+    d = _pad_axis0(d, n_dev)
+    pixel_ids = _pad_axis0(pixel_ids[:, None], n_dev)[:, 0]
+    table = _ring_table(scene, cfg, n_dev)
 
     @partial(
         jax.shard_map,
@@ -721,8 +943,68 @@ def _render_pt_ring_jit(scene, camera, seed, cfg: RenderConfig,
     def go(o, d, pids, table, seed):
         return _trace_ring(table, o, d, pids, cfg, seed, axis, n_tris)
 
-    img = go(o, d, pixel_ids, table, seed)
-    return jnp.clip(img[:n], 0.0, 1.0).reshape(cfg.height, cfg.width, 3)
+    return go(o, d, pixel_ids, table, jnp.asarray(seed))[:n]
+
+
+def _ring_radiance(scene, camera, seed, cfg: RenderConfig,
+                   mesh: Mesh, n_tris: int):
+    # Whole frame in ONE jitted program (see _render_flat_ring_jit:
+    # eager prep outside jit cost ~21 s/frame over the axon tunnel and
+    # was round 3's entire "ring is gather-bound" artifact).
+    from spath_tpu.camera import generate_rays
+
+    o, d = generate_rays(camera, cfg.width, cfg.height)
+    pixel_ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
+    rad = ring_radiance_from_rays(scene, o, d, pixel_ids, seed, cfg,
+                                  mesh, n_tris)
+    return rad.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "n_tris"))
+def _render_pt_ring_jit(scene, camera, seed, cfg: RenderConfig,
+                        mesh: Mesh, n_tris: int):
+    return jnp.clip(
+        _ring_radiance(scene, camera, seed, cfg, mesh, n_tris), 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "n_tris"))
+def _render_radiance_ring_jit(scene, camera, seed, cfg: RenderConfig,
+                              mesh: Mesh, n_tris: int):
+    return _ring_radiance(scene, camera, seed, cfg, mesh, n_tris)
+
+
+def render_radiance_ring(scene, camera, cfg: RenderConfig, mesh: Mesh,
+                         seed=0):
+    """Unclamped ring-sharded radiance — the DIFFERENTIABLE long-context
+    entry: ``jax.grad`` flows to scene (vertices/albedo/emission) and
+    camera while triangle data exists only as ring shards, forward AND
+    backward (custom-VJP ring primitives; the adjoint table ring-reduces
+    with the same collective traffic as a forward rotation). Same
+    detached-sampling gradient semantics as the replicated
+    ``render_radiance``; grads match it to cross-device accumulation-
+    order ulps (``tests/test_ring_grad.py``)."""
+    if cfg.nee and cfg.rng in ("lcg", "table"):
+        raise ValueError("cfg.nee requires rng='threefry' or 'hash'")
+    return _render_radiance_ring_jit(scene, camera, jnp.asarray(seed),
+                                     cfg=cfg, mesh=mesh,
+                                     n_tris=scene.n_tris)
+
+
+def ring_train_step(scene, camera, cfg: RenderConfig, mesh: Mesh,
+                    target, seed=0, lr=1e-2):
+    """One SGD step on ``mean((render - target)²)`` with the scene's
+    differentiable leaves updated — the ring-sharded training loop's
+    inner step (scenes that outgrow replicated HBM can now be OPTIMIZED,
+    not just rendered). Returns ``(loss, new_scene)``."""
+
+    def loss_fn(s):
+        img = render_radiance_ring(s, camera, cfg, mesh, seed)
+        return jnp.mean((img - target) ** 2)
+
+    loss, g = jax.value_and_grad(loss_fn)(scene)
+    new_scene = jax.tree_util.tree_map(
+        lambda p, gp: p - lr * gp, scene, g)
+    return loss, new_scene
 
 
 def render_pt_ring(scene, camera, cfg: RenderConfig, mesh: Mesh, seed=0):
