@@ -21,16 +21,21 @@ NEE specifics of the streamed design:
     sweep over 2R concatenated lanes produces both — triangle blocks are
     DMA'd once per bounce, the attribute gather runs only on the
     next-ray half (``_sweep(gather_from=R)``);
-  * light selection is a categorical cdf draw over a compact SMEM light
-    table holding ONLY the (statically known) emissive rows of the
-    quality table plus their global indices. Selection is bit-equal to
-    the wavefront's full-table ``searchsorted``: the cdf is a step
+  * light selection is a categorical cdf draw over a compact VMEM
+    light table holding ONLY the (statically known) emissive rows of
+    the quality table plus their global indices. Selection is bit-equal
+    to the wavefront's full-table ``searchsorted``: the cdf is a step
     function stepping only at emissive rows, so the k-th compact
     crossing is the k-th light for the same uniform (zero-probability
     rows can never be selected by either). The light set must be STATIC
     (``Scene.light_idx``, or derived from concrete emission at
     table-build time) while emission/geometry VALUES stay traced and
-    differentiable.
+    differentiable. Round 5 scaled the set with the scene: the round-4
+    SMEM table (O(L) scalar walk, 2048-row SMEM cap) became a
+    VMEM-resident sublane-chunked table with a chunked
+    count-searchsorted + exact one-hot MXU row fetch
+    (``_select_light_vmem``) — ``LIGHT_MAX`` 2048 → 65536, covering the
+    1M-triangle/1%-emissive scene's ~10k lights with 6× headroom.
 
 Backward: one Pallas launch replays the walk per sample and runs the
 shared analytic reverse sweep (``megakernel_quality_grad._reverse_bounce``
@@ -83,7 +88,6 @@ from spath_tpu.ops.pallas.megakernel_grad import _split3
 from spath_tpu.ops.pallas.megakernel_quality import (
     _GOLD,
     _sample_walk,
-    _select_gather_light,
     quality_table,
 )
 
@@ -97,12 +101,19 @@ TILE_RQ = 1024
 #: exist so the backward replay can anchor the analytic distance VJP
 #: without a second table; 32 = whole bf16 sublane tiles.
 _AQCOLS = 32
-#: compact SMEM light-table cap (rows of the quality-table layout).
-#: 2048 × 24 × 4 B = 196 KB compiles on v5e; 4096 overflows SMEM
-#: (measured round 4). 2× headroom over the 100k/1%-emissive stress
-#: scene's ~1000 lights; beyond it the registry falls to the wavefront
-#: (pinned by tests/test_bigscene_quality.py::test_bigq_light_cap).
-LIGHT_MAX = 2048
+#: compact light-table cap. Round 5 moved the table SMEM → VMEM
+#: ((24-col × Lp) f32 = 6.3 MB at 64k — the SMEM walk capped at 2048
+#: rows / 196 KB) and replaced the O(L) scalar selection walk with a
+#: chunked count-searchsorted + exact one-hot MXU row fetch
+#: (``_select_light_vmem``), so the light set scales with the scene:
+#: a 1M-triangle scene at the bench's own 1% emissive fraction (~10k
+#: lights) stays on the fused path. Beyond the cap the registry falls
+#: to the wavefront (tests/test_bigscene_quality.py::test_bigq_light_cap).
+LIGHT_MAX = 65536
+#: lights per selection chunk: the (512, R) compare/one-hot transients
+#: are 2 MB at TILE_RQ lanes, and 512 sublanes = 4 MXU passes per
+#: gather matmul step.
+_LCHUNK = 512
 #: backward cap == forward cap: the (32, Tp) adjoint streams through
 #: HBM blocks (see module docstring), so no VMEM buffer scales with T.
 #: BASELINE config 4's 100k point runs the fused VJP with headroom.
@@ -152,7 +163,14 @@ def bigscene_quality_tables(scene):
     scene values; the light SET is static).
 
     Returns ``(gfeat (4·Tp, 128) bf16, attrs (32, Tp) f32,
-    ltab (L, 24) f32, n_blocks, n_lights)``.
+    ltab (24·nchunk, 512) f32, cdf_t (512, nchunk) f32, n_blocks,
+    n_lights)``. The light table is SUBLANE-CHUNKED for the VMEM
+    selection (``_select_light_vmem``): chunk ``c``'s 512 rows live
+    transposed at sublanes ``[24c, 24c+24)`` so the gather matmul
+    slices them with an (8-aligned) dynamic sublane window — never a
+    dynamic lane slice, which Mosaic restricts. ``cdf_t`` holds the
+    compact cdf column-oriented (chunk c's values along sublanes of
+    column c) so the count compare broadcasts with no transposes.
     """
     from spath_tpu.ops.nee import light_cdf, triangle_areas
 
@@ -195,11 +213,74 @@ def bigscene_quality_tables(scene):
         ltab = jnp.zeros((1, 24), jnp.float32)
         ltab = ltab.at[0, 20].set(1.0)               # cdf
         ltab = ltab.at[0, _COL_GIDX].set(-1.0)       # global index
-    return gfeat, acols.T, ltab, (t + pad) // TILE_T, ltab.shape[0]
+    n_lights = ltab.shape[0]
+    lpad = (-n_lights) % _LCHUNK
+    if lpad:
+        fill = jnp.zeros((lpad, 24), jnp.float32)
+        # padded cdf 2.0: above every uniform, never counted/selected
+        fill = fill.at[:, 20].set(2.0)
+        ltab = jnp.concatenate([ltab, fill], axis=0)
+    nchunk = ltab.shape[0] // _LCHUNK
+    cdf_t = ltab[:, 20].reshape(nchunk, _LCHUNK).T       # (512, nchunk)
+    ltab_sb = ltab.reshape(nchunk, _LCHUNK, 24).transpose(0, 2, 1)
+    ltab_sb = ltab_sb.reshape(nchunk * 24, _LCHUNK)      # (24·nc, 512)
+    return (gfeat, acols.T, ltab_sb, cdf_t, (t + pad) // TILE_T,
+            n_lights)
 
 
-def _make_ctx_big(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbuf, abuf,
-                  sems, *, cfg: RenderConfig, n_blocks: int,
+def _select_light_vmem(ltab, cdf_t, u, n_lights: int):
+    """Categorical light draw + 24-column row fetch from the
+    VMEM-resident light table, O(L/512)-chunked — the scaling
+    replacement for the O(L) SMEM scalar walk (round-5 item 2).
+
+    Count-formulation searchsorted, bit-equal to the walk it replaces
+    (``megakernel_quality._select_gather_light``'s own docstring proves
+    walk == ``min(count(cdf <= u), L-1)``): the compare against each
+    512-light chunk broadcasts ``(512, 1) vs (1, R)`` with zero
+    transposes thanks to the column-oriented ``cdf_t``. The row fetch
+    is an exact one-hot MXU matmul per chunk — ``precision=HIGHEST``'s
+    3-way bf16 split reconstructs each f32 exactly and every output has
+    a single nonzero product, so the gathered rows are bit-equal to a
+    scalar row read (the ``ops/gather.py`` trick in-kernel).
+
+    ``u``: (1, R). Returns ``(slot (1, R) int32, rows (24, R) f32)``.
+    """
+    r = u.shape[1]
+    nchunk = cdf_t.shape[1]
+    chunk = cdf_t.shape[0]
+    cdf_all = cdf_t[:]                                # (512, nchunk)
+    iota_c = lax.broadcasted_iota(jnp.int32, (nchunk, 1), 0)
+    iota_s = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def count_body(c, cnt):
+        # column c of cdf_t via an exact one-hot matmul — no dynamic
+        # LANE slicing (Mosaic-restricted); the (512, nchunk)×(nchunk,
+        # 1) product is trivial
+        ohc = (iota_c == c).astype(jnp.float32)
+        cdf_c = jnp.dot(cdf_all, ohc,
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)  # (512, 1)
+        le = (cdf_c <= u).astype(jnp.int32)               # (512, R)
+        return cnt + jnp.sum(le, axis=0, keepdims=True)
+
+    cnt = lax.fori_loop(0, nchunk, count_body,
+                        jnp.zeros((1, r), jnp.int32))
+    slot = jnp.minimum(cnt, n_lights - 1)
+
+    def gather_body(c, acc):
+        blk = ltab[pl.ds(c * 24, 24), :]
+        oht = (iota_s + c * chunk == slot).astype(jnp.float32)
+        return acc + jnp.dot(blk, oht,
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)
+
+    rows = lax.fori_loop(0, nchunk, gather_body,
+                         jnp.zeros((24, r), jnp.float32))
+    return slot, rows
+
+
+def _make_ctx_big(rays, keys, ltab, cdf_t, gfeat_hbm, attrs_hbm, gbuf,
+                  abuf, sems, *, cfg: RenderConfig, n_blocks: int,
                   n_lights: int, fast: bool):
     """Streamed-backend hook set for ``_sample_walk`` (same contract as
     ``megakernel_quality._make_ctx``; ``attr`` is the gathered
@@ -231,7 +312,8 @@ def _make_ctx_big(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbuf, abuf,
         return [attr[c:c + 1, :] for c in range(11, 20)]
 
     def select_light(u):
-        slot, outs = _select_gather_light(ltab, u, _LCOLS, n_lights)
+        _slot, rows = _select_light_vmem(ltab, cdf_t, u, n_lights)
+        outs = [rows[c:c + 1, :] for c in _LCOLS]
         li_global = outs[-1].astype(jnp.int32)
         return li_global, outs[:-1]
 
@@ -244,11 +326,11 @@ def _make_ctx_big(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbuf, abuf,
     )
 
 
-def _bigq_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, out, gbuf, abuf,
-                 sems, *, cfg: RenderConfig, n_blocks: int, n_lights: int,
-                 fast: bool):
+def _bigq_kernel(rays, keys, ltab, cdf_t, gfeat_hbm, attrs_hbm, out,
+                 gbuf, abuf, sems, *, cfg: RenderConfig, n_blocks: int,
+                 n_lights: int, fast: bool):
     ctx = _make_ctx_big(
-        rays, keys, ltab, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
+        rays, keys, ltab, cdf_t, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
         cfg=cfg, n_blocks=n_blocks, n_lights=n_lights, fast=fast,
     )
 
@@ -267,7 +349,7 @@ def _bigq_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, out, gbuf, abuf,
     out[3:4, :] = jnp.zeros_like(acc_r)
 
 
-def bigq_call(rays, keys, ltab, gfeat, attrs, cfg: RenderConfig,
+def bigq_call(rays, keys, ltab, cdf_t, gfeat, attrs, cfg: RenderConfig,
               n_blocks: int, n_lights: int, fast: bool = False):
     """Raw forward pallas_call on packed rows → ``(4, Np)`` rows."""
     np_ = rays.shape[1]
@@ -283,7 +365,8 @@ def bigq_call(rays, keys, ltab, gfeat, attrs, cfg: RenderConfig,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # light table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # light table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # light cdf (col)
             pl.BlockSpec(memory_space=pltpu.HBM),    # gfeat streamed
             pl.BlockSpec(memory_space=pltpu.HBM),    # attrs streamed
         ],
@@ -295,7 +378,147 @@ def bigq_call(rays, keys, ltab, gfeat, attrs, cfg: RenderConfig,
             pltpu.VMEM((2, _AQCOLS, TILE_T), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
-    )(rays, keys, ltab, gfeat, attrs)
+    )(rays, keys, ltab, cdf_t, gfeat, attrs)
+
+
+def _hits_rows(spp: int, bounces: int) -> int:
+    """Sublane count of the hits-export buffer: 2 rows (dist, idx) per
+    (sample, bounce), padded to whole f32 sublane tiles."""
+    return -(-2 * spp * bounces // 8) * 8
+
+
+def _bigq_hits_kernel(rays, keys, ltab, cdf_t, gfeat_hbm, attrs_hbm,
+                      out, hits, gbuf, abuf, sems, *, cfg: RenderConfig,
+                      n_blocks: int, n_lights: int, fast: bool):
+    """Forward kernel that ALSO exports every (sample, bounce) nearest
+    hit — (dist, idx) rows — for the vis-residual replay (round-5 item
+    4: the residual differentiates O(1)-per-lane chains off the KNOWN
+    hit, so exporting the hits the forward already computes removes its
+    O(N·T) detached re-sweeps). The sample loop is UNROLLED (static row
+    indices; caller gates spp ≤ 8), and `saved` is consumed instead of
+    dead-code-eliminated — same traced walk as ``_bigq_kernel``."""
+    ctx = _make_ctx_big(
+        rays, keys, ltab, cdf_t, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
+        cfg=cfg, n_blocks=n_blocks, n_lights=n_lights, fast=fast,
+    )
+    zeros = jnp.zeros_like(ctx["o0"][0])
+    acc_r, acc_g, acc_b = zeros, zeros, zeros
+    nb = cfg.max_bounces
+    for s in range(cfg.spp):
+        rad_r, rad_g, rad_b, saved = _sample_walk(jnp.uint32(s), ctx)
+        acc_r = acc_r + rad_r
+        acc_g = acc_g + rad_g
+        acc_b = acc_b + rad_b
+        for b in range(nb):
+            r0 = 2 * (s * nb + b)
+            hits[r0:r0 + 1, :] = saved[b]["dist"]
+            hits[r0 + 1:r0 + 2, :] = saved[b]["idx"].astype(jnp.float32)
+    pad0 = 2 * cfg.spp * nb
+    for r in range(pad0, _hits_rows(cfg.spp, nb)):
+        hits[r:r + 1, :] = zeros
+    inv = np.float32(1.0) / np.float32(cfg.spp)
+    out[0:1, :] = acc_r * inv
+    out[1:2, :] = acc_g * inv
+    out[2:3, :] = acc_b * inv
+    out[3:4, :] = jnp.zeros_like(acc_r)
+
+
+def bigq_hits_call(rays, keys, ltab, cdf_t, gfeat, attrs,
+                   cfg: RenderConfig, n_blocks: int, n_lights: int,
+                   fast: bool = False):
+    """Forward + hit export → ``(rows (4, Np), hits (HR, Np))``."""
+    assert cfg.spp <= 8, "hits export unrolls the sample loop"
+    np_ = rays.shape[1]
+    tile = tile_for(np_, TILE_RQ)
+    hr = _hits_rows(cfg.spp, cfg.max_bounces)
+    kernel = functools.partial(
+        _bigq_hits_kernel, cfg=cfg, n_blocks=n_blocks,
+        n_lights=n_lights, fast=fast)
+    return pl.pallas_call(
+        kernel,
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hr, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, np_), jnp.float32),
+            jax.ShapeDtypeStruct((hr, np_), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 4 * TILE_T, _QK), jnp.bfloat16),
+            pltpu.VMEM((2, _AQCOLS, TILE_T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )(rays, keys, ltab, cdf_t, gfeat, attrs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def bigq_rows_hits(gfeat, attrs, ltab, cdf_t, rays, keys,
+                   cfg: RenderConfig, n_blocks: int, n_lights: int,
+                   fast: bool):
+    """``bigq_rows`` that also returns the (detached) per-(sample,
+    bounce) hit export — the interior forward IS the hits forward, so
+    the vis-residual replay costs no extra kernel pass. The hits output
+    is non-differentiable (the residual consumes it detached); the
+    backward is the shared streamed-adjoint kernel, identical to
+    ``bigq_rows``'s."""
+    return bigq_hits_call(rays, keys, ltab, cdf_t, gfeat, attrs, cfg,
+                          n_blocks, n_lights, fast)
+
+
+def _bigq_hits_fwd(gfeat, attrs, ltab, cdf_t, rays, keys, cfg, n_blocks,
+                   n_lights, fast):
+    out = bigq_rows_hits(gfeat, attrs, ltab, cdf_t, rays, keys, cfg,
+                         n_blocks, n_lights, fast)
+    return out, (gfeat, attrs, ltab, cdf_t, rays, keys)
+
+
+def _bigq_hits_bwd(cfg, n_blocks, n_lights, fast, res, cots):
+    gbar, _g_hits = cots          # hits are detached: cotangent unused
+    return _bigq_bwd(cfg, n_blocks, n_lights, fast, res, gbar)
+
+
+bigq_rows_hits.defvjp(_bigq_hits_fwd, _bigq_hits_bwd)
+
+
+def render_bigscene_quality_with_hits(scene, camera, cfg: RenderConfig,
+                                      seed=0, fast: bool = False):
+    """Differentiable streamed-quality radiance PLUS the detached hit
+    export: ``(img (H, W, 3), (dist (spp, B, N), idx (spp, B, N)
+    int32))`` in pixel order — the inputs ``render_vis_residual`` needs
+    to skip its O(N·T) detached re-sweeps."""
+    from jax import lax
+
+    if not supported(scene, cfg):
+        raise ValueError(
+            "bigscene quality kernel needs rng='hash', sampler='cosine', "
+            "T <= BIG_MAX_TRIS, static light set <= LIGHT_MAX")
+    rays, pix, n = pack_rays(camera, cfg, 0, lane_multiple=TILE_RQ)
+    keys = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix
+    gfeat, attrs, ltab, cdf_t, n_blocks, n_lights = \
+        bigscene_quality_tables(scene)
+    out, hits = bigq_rows_hits(gfeat, attrs, ltab, cdf_t, rays, keys,
+                               cfg, n_blocks, n_lights, fast)
+    img = out[:3, :n].T.reshape(cfg.height, cfg.width, 3)
+    hits = lax.stop_gradient(hits)
+    nb = cfg.max_bounces
+    hb = hits[:2 * cfg.spp * nb, :n].reshape(cfg.spp, nb, 2, n)
+    dist = hb[:, :, 0, :]
+    idx = hb[:, :, 1, :].astype(jnp.int32)
+    return img, (dist, idx)
 
 
 def _attrs_rows_surf(surf, zrow):
@@ -316,16 +539,16 @@ def _attrs_rows_light(light, zrow):
             + tuple(v0) + tuple(e1) + tuple(e2))     # rows 0..19
 
 
-def _bigq_bwd_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbar, gtab,
-                     grays, gbuf, abuf, sems, rwbuf, rwsems, *,
-                     cfg: RenderConfig, n_blocks: int, n_lights: int,
+def _bigq_bwd_kernel(rays, keys, ltab, cdf_t, gfeat_hbm, attrs_hbm,
+                     gbar, gtab, grays, gbuf, abuf, sems, rwbuf, rwsems,
+                     *, cfg: RenderConfig, n_blocks: int, n_lights: int,
                      fast: bool):
     from spath_tpu.ops.pallas.megakernel_quality_grad import (
         _reverse_bounce,
     )
 
     ctx = _make_ctx_big(
-        rays, keys, ltab, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
+        rays, keys, ltab, cdf_t, gfeat_hbm, attrs_hbm, gbuf, abuf, sems,
         cfg=cfg, n_blocks=n_blocks, n_lights=n_lights, fast=fast,
     )
     zrow = jnp.zeros_like(ctx["o0"][0])
@@ -388,7 +611,7 @@ def _bigq_bwd_kernel(rays, keys, ltab, gfeat_hbm, attrs_hbm, gbar, gtab,
         list(gry) + [jnp.zeros((2, r), jnp.float32)], axis=0)
 
 
-def bigq_bwd_call(rays, keys, ltab, gfeat, attrs, gbar,
+def bigq_bwd_call(rays, keys, ltab, cdf_t, gfeat, attrs, gbar,
                   cfg: RenderConfig, n_blocks: int, n_lights: int,
                   fast: bool = False):
     """Raw backward pallas_call → ``(gattrs (32, Tp), grays (8, Np))``."""
@@ -406,7 +629,8 @@ def bigq_bwd_call(rays, keys, ltab, gfeat, attrs, gbar,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((4, tile), lambda i: (0, i),
@@ -430,37 +654,38 @@ def bigq_bwd_call(rays, keys, ltab, gfeat, attrs, gbar,
             pltpu.VMEM((2, _AQCOLS, TILE_T), jnp.float32),   # rmw bufs
             pltpu.SemaphoreType.DMA((2, 2)),                 # rmw sems
         ],
-    )(rays, keys, ltab, gfeat, attrs, gbar)
+    )(rays, keys, ltab, cdf_t, gfeat, attrs, gbar)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def bigq_rows(gfeat, attrs, ltab, rays, keys, cfg: RenderConfig,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def bigq_rows(gfeat, attrs, ltab, cdf_t, rays, keys, cfg: RenderConfig,
               n_blocks: int, n_lights: int, fast: bool):
     """Forward streamed quality kernel on packed rows, hand-written VJP."""
-    return bigq_call(rays, keys, ltab, gfeat, attrs, cfg, n_blocks,
-                     n_lights, fast)
+    return bigq_call(rays, keys, ltab, cdf_t, gfeat, attrs, cfg,
+                     n_blocks, n_lights, fast)
 
 
-def _bigq_fwd(gfeat, attrs, ltab, rays, keys, cfg, n_blocks, n_lights,
-              fast):
-    out = bigq_rows(gfeat, attrs, ltab, rays, keys, cfg, n_blocks,
-                    n_lights, fast)
-    return out, (gfeat, attrs, ltab, rays, keys)
+def _bigq_fwd(gfeat, attrs, ltab, cdf_t, rays, keys, cfg, n_blocks,
+              n_lights, fast):
+    out = bigq_rows(gfeat, attrs, ltab, cdf_t, rays, keys, cfg,
+                    n_blocks, n_lights, fast)
+    return out, (gfeat, attrs, ltab, cdf_t, rays, keys)
 
 
 def _bigq_bwd(cfg, n_blocks, n_lights, fast, res, gbar):
-    gfeat, attrs, ltab, rays, keys = res
+    gfeat, attrs, ltab, cdf_t, rays, keys = res
     gattrs, grays = bigq_bwd_call(
-        rays, keys, ltab, gfeat, attrs, gbar, cfg, n_blocks, n_lights,
-        fast)
+        rays, keys, ltab, cdf_t, gfeat, attrs, gbar, cfg, n_blocks,
+        n_lights, fast)
     # Geometry features and the light table carry exactly-zero
     # cotangents: the same quantities enter the differentiable attrs
     # table, where both the surface and light chains are scattered (see
     # module docstring) — scene cotangents flow through attrs alone.
     ggfeat = jnp.zeros_like(gfeat)
     gltab = jnp.zeros_like(ltab)
+    gcdf = jnp.zeros_like(cdf_t)
     gkeys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
-    return ggfeat, gattrs, gltab, grays, gkeys
+    return ggfeat, gattrs, gltab, gcdf, grays, gkeys
 
 
 bigq_rows.defvjp(_bigq_fwd, _bigq_bwd)
@@ -476,7 +701,8 @@ def render_radiance_bigscene_quality(scene, camera, cfg: RenderConfig,
             "T <= BIG_MAX_TRIS, static light set <= LIGHT_MAX")
     rays, pix, n = pack_rays(camera, cfg, 0, lane_multiple=TILE_RQ)
     keys = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix
-    gfeat, attrs, ltab, n_blocks, n_lights = bigscene_quality_tables(scene)
-    out = bigq_rows(gfeat, attrs, ltab, rays, keys, cfg, n_blocks,
-                    n_lights, fast)
+    gfeat, attrs, ltab, cdf_t, n_blocks, n_lights = \
+        bigscene_quality_tables(scene)
+    out = bigq_rows(gfeat, attrs, ltab, cdf_t, rays, keys, cfg,
+                    n_blocks, n_lights, fast)
     return out[:3, :n].T.reshape(cfg.height, cfg.width, 3)

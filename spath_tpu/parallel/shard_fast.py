@@ -170,44 +170,45 @@ def _pack_bigq(scene, camera, cfg, seed, mesh):
         jnp.asarray(seed).astype(jnp.uint32) * megakernel_quality._GOLD
         + pix
     )
-    gfeat, attrs, ltab, n_blocks, n_lights = \
+    gfeat, attrs, ltab, cdf_t, n_blocks, n_lights = \
         bq.bigscene_quality_tables(scene)
-    return rays, keys, gfeat, attrs, ltab, n_blocks, n_lights, n
+    return rays, keys, gfeat, attrs, ltab, cdf_t, n_blocks, n_lights, n
 
 
-_BIGQ_IN = (P(None, "rays"), P(None, "rays"), P(), P(), P())
+_BIGQ_IN = (P(None, "rays"), P(None, "rays"), P(), P(), P(), P())
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_lights", "mesh",
                                    "fast"))
-def _bigq_fwd_sharded(rays, keys, gfeat, attrs, ltab, cfg: RenderConfig,
-                      n_blocks: int, n_lights: int, mesh, fast: bool):
+def _bigq_fwd_sharded(rays, keys, gfeat, attrs, ltab, cdf_t,
+                      cfg: RenderConfig, n_blocks: int, n_lights: int,
+                      mesh, fast: bool):
     from spath_tpu.ops.pallas.megakernel_bigscene_quality import bigq_call
 
     fn = jax.shard_map(
-        lambda r, k, g, a, lt: bigq_call(r, k, lt, g, a, cfg, n_blocks,
-                                         n_lights, fast),
+        lambda r, k, g, a, lt, ct: bigq_call(r, k, lt, ct, g, a, cfg,
+                                             n_blocks, n_lights, fast),
         mesh=mesh,
         in_specs=_BIGQ_IN,
         out_specs=_ROW_OUT,
         check_vma=False,
     )
-    return fn(rays, keys, gfeat, attrs, ltab)
+    return fn(rays, keys, gfeat, attrs, ltab, cdf_t)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _bigq_rows_sharded(gfeat, attrs, ltab, rays, keys,
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _bigq_rows_sharded(gfeat, attrs, ltab, cdf_t, rays, keys,
                        cfg: RenderConfig, n_blocks: int, n_lights: int,
                        mesh, fast: bool):
-    return _bigq_fwd_sharded(rays, keys, gfeat, attrs, ltab, cfg,
+    return _bigq_fwd_sharded(rays, keys, gfeat, attrs, ltab, cdf_t, cfg,
                              n_blocks, n_lights, mesh, fast)
 
 
-def _bigq_rows_fwd(gfeat, attrs, ltab, rays, keys, cfg, n_blocks,
+def _bigq_rows_fwd(gfeat, attrs, ltab, cdf_t, rays, keys, cfg, n_blocks,
                    n_lights, mesh, fast):
-    out = _bigq_fwd_sharded(rays, keys, gfeat, attrs, ltab, cfg,
+    out = _bigq_fwd_sharded(rays, keys, gfeat, attrs, ltab, cdf_t, cfg,
                             n_blocks, n_lights, mesh, fast)
-    return out, (gfeat, attrs, ltab, rays, keys)
+    return out, (gfeat, attrs, ltab, cdf_t, rays, keys)
 
 
 def _bigq_rows_bwd(cfg, n_blocks, n_lights, mesh, fast, res, gbar):
@@ -215,12 +216,13 @@ def _bigq_rows_bwd(cfg, n_blocks, n_lights, mesh, fast, res, gbar):
         bigq_bwd_call,
     )
 
-    gfeat, attrs, ltab, rays, keys = res
+    gfeat, attrs, ltab, cdf_t, rays, keys = res
 
-    def shard_bwd(rays_s, keys_s, gfeat_r, attrs_r, ltab_r, gbar_s):
+    def shard_bwd(rays_s, keys_s, gfeat_r, attrs_r, ltab_r, cdf_r,
+                  gbar_s):
         gattrs, grays = bigq_bwd_call(
-            rays_s, keys_s, ltab_r, gfeat_r, attrs_r, gbar_s, cfg,
-            n_blocks, n_lights, fast)
+            rays_s, keys_s, ltab_r, cdf_r, gfeat_r, attrs_r, gbar_s,
+            cfg, n_blocks, n_lights, fast)
         return jax.lax.psum(gattrs, "rays"), grays
 
     gattrs, grays = jax.shard_map(
@@ -229,11 +231,12 @@ def _bigq_rows_bwd(cfg, n_blocks, n_lights, mesh, fast, res, gbar):
         in_specs=_BIGQ_IN + (P(None, "rays"),),
         out_specs=(P(), P(None, "rays")),
         check_vma=False,
-    )(rays, keys, gfeat, attrs, ltab, gbar)
+    )(rays, keys, gfeat, attrs, ltab, cdf_t, gbar)
     ggfeat = jnp.zeros_like(gfeat)
     gltab = jnp.zeros_like(ltab)
+    gcdf = jnp.zeros_like(cdf_t)
     gkeys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
-    return ggfeat, gattrs, gltab, grays, gkeys
+    return ggfeat, gattrs, gltab, gcdf, grays, gkeys
 
 
 _bigq_rows_sharded.defvjp(_bigq_rows_fwd, _bigq_rows_bwd)
@@ -345,11 +348,11 @@ def render_radiance_fast_sharded(scene, camera, cfg: RenderConfig, seed=0,
                                True, scene.light_idx)
             return _to_image(out, n, cfg)
         if bq.supported(scene, cfg):
-            (rays, keys, gfeat, attrs, ltab, n_blocks, n_lights,
+            (rays, keys, gfeat, attrs, ltab, cdf_t, n_blocks, n_lights,
              n) = _pack_bigq(scene, camera, cfg, seed, mesh)
             out = _bigq_fwd_sharded(
-                rays, keys, gfeat, attrs, ltab, cfg, n_blocks, n_lights,
-                mesh, cfg.intersect == "pallas_fast")
+                rays, keys, gfeat, attrs, ltab, cdf_t, cfg, n_blocks,
+                n_lights, mesh, cfg.intersect == "pallas_fast")
             return _to_image(out, n, cfg)
         from spath_tpu.ops.pallas import megakernel_bigscene
 
@@ -407,11 +410,11 @@ def render_radiance_fastgrad_sharded(scene, camera, cfg: RenderConfig,
                                 True, scene.light_idx)
             return _to_image(out, n, cfg)
         if bq.supported_grad(scene, cfg):
-            (rays, keys, gfeat, attrs, ltab, n_blocks, n_lights,
+            (rays, keys, gfeat, attrs, ltab, cdf_t, n_blocks, n_lights,
              n) = _pack_bigq(scene, camera, cfg, seed, mesh)
             out = _bigq_rows_sharded(
-                gfeat, attrs, ltab, rays, keys, cfg, n_blocks, n_lights,
-                mesh, cfg.intersect == "pallas_fast")
+                gfeat, attrs, ltab, cdf_t, rays, keys, cfg, n_blocks,
+                n_lights, mesh, cfg.intersect == "pallas_fast")
             return _to_image(out, n, cfg)
         from spath_tpu.ops.pallas import megakernel_bigscene_grad
 

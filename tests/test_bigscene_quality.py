@@ -156,6 +156,46 @@ def test_bigq_grad_above_32k():
             err_msg=f"beyond path-flip noise: {name}")
 
 
+def test_bigq_grad_131k():
+    """Grad conformance at T = 131,072 — the round-4 verdict's item-3
+    bar (previous max: 33k). A 4× extrapolation in streamed blocks is
+    where fp32-accumulation and block-addressing surprises would live;
+    tiny frame/spp bounds the interpret-mode cost (every streamed block
+    costs real host FLOPs)."""
+    # 5% emissive: at this triangle density (131k in the same box the
+    # 10k scene uses) shadow rays are almost always occluded, so
+    # albedo-dependent light paths need a fair chance of a
+    # second-bounce emitter hit or the reference gradient is exactly
+    # zero at a 128-ray frame (observed at 1% emissive)
+    scene = procedural_scene(131_072, seed=0, emissive_fraction=0.05)
+    assert scene.n_tris >= 131072
+    assert supported_grad(scene, CFG)
+    li = scene.light_idx
+    cam = Camera.default()
+    cfg = CFG.replace(width=16, height=8, spp=1, max_bounces=2)
+
+    def make_loss(fn):
+        def loss(a, e):
+            s = Scene(scene.vertices, a, e, light_idx=li)
+            return jnp.mean(fn(s, cam, cfg, 0))
+        return loss
+
+    with pltpu.force_tpu_interpret_mode():
+        want = jax.jit(jax.grad(make_loss(render_radiance),
+                                argnums=(0, 1)))(
+            scene.albedo, scene.emission)
+        got = jax.jit(jax.grad(
+            make_loss(render_radiance_bigscene_quality),
+            argnums=(0, 1)))(scene.albedo, scene.emission)
+    for name, g_got, g_want in zip(["albedo", "emission"], got, want):
+        g_got, g_want = np.asarray(g_got), np.asarray(g_want)
+        scale = np.abs(g_want).max() + 1e-12
+        assert np.abs(g_want).max() > 0.0
+        np.testing.assert_allclose(
+            g_got, g_want, atol=0.03 * scale,
+            err_msg=f"beyond path-flip noise: {name}")
+
+
 def test_bigq_camera_grad_lives():
     """The NEE position chain reaches the camera through packed rays."""
     scene = _combined_scene(249)
@@ -196,25 +236,32 @@ def test_bigq_static_light_set():
             traced, Camera.default(), CFG.replace(rng="lcg"), 0)
 
 
-def test_bigq_light_cap():
+def test_bigq_light_cap(monkeypatch):
     """Over-cap light sets fall OFF the fused path loudly and route to
-    the wavefront — the round-3 cliff (LIGHT_MAX one config from the
-    bench scene) is now pinned: the 100k/1%-emissive stress scene's
-    ~1000 lights sit at ≤half the cap."""
+    the wavefront. Round 5 raised LIGHT_MAX to 65536 (VMEM table +
+    chunked selection), so the 1M/1%-emissive scene's ~10k lights fit
+    with 6× headroom; the over-cap routing is exercised by shrinking
+    the cap (building a >65k-light scene in a CPU test is pointless
+    burn)."""
+    import spath_tpu.ops.pallas.megakernel_bigscene_quality as bq
     from spath_tpu.models.renderer import grad_renderer
     from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
         LIGHT_MAX,
         render_radiance_bigscene_quality,
     )
 
-    assert LIGHT_MAX >= 2000          # 2x the bench scene's light count
-    over = procedural_scene(
-        8192, seed=0, emissive_fraction=(LIGHT_MAX + 64) / 8192)
-    assert len(over.light_idx) > LIGHT_MAX
+    # 1M tris at the bench's own 1% emissive fraction ≈ 10k lights —
+    # the fused path must cover the scenes its 1M triangle cap
+    # advertises (round-4 verdict item 2)
+    assert LIGHT_MAX >= 20000
+    over = procedural_scene(8192, seed=0, emissive_fraction=0.05)
+    assert len(over.light_idx) > 256
+    monkeypatch.setattr(bq, "LIGHT_MAX", 256)
     assert not supported(over, CFG) and not supported_grad(over, CFG)
     assert grad_renderer(over, CFG).name == "wavefront"
     with pytest.raises(ValueError):
         render_radiance_bigscene_quality(over, Camera.default(), CFG, 0)
+    monkeypatch.setattr(bq, "LIGHT_MAX", LIGHT_MAX)
     under = procedural_scene(8192, seed=0, emissive_fraction=0.01)
     assert supported(under, CFG) and supported_grad(under, CFG)
 

@@ -90,3 +90,42 @@ def test_rmw_scatter_matches_numpy(n_blocks, grid, ne):
     # 3-way bf16 split is exact per product; only f32 summation order
     # differs from the oracle's
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_rmw_scatter_dense_collisions_vs_fp64_oracle():
+    """Accumulation-ORDER check at realistic density (round-5 item 3):
+    thousands of events per pass with indices skewed so a few triangles
+    absorb hundreds of f32 additions each — the collision depth a
+    100k–1M-triangle backward pass produces per block. The f32 rmw
+    accumulator must stay within f32-summation noise of an fp64 oracle
+    (the round-4 oracle test ran toy sizes where depth never exceeded a
+    handful)."""
+    rng = np.random.default_rng(42)
+    n_blocks, grid, ne = 2, 8, 6
+    t = n_blocks * TILE_T
+    contribs = rng.normal(size=(grid, ne, ROWS, R)).astype(np.float32)
+    idxs = rng.integers(0, t, size=(grid, ne, R)).astype(np.int32)
+    # skew: half of all events land on 4 hot triangles -> ~700 f32
+    # additions deep on each hot column
+    hot = rng.integers(0, t, size=4)
+    mask = rng.random(size=idxs.shape) < 0.5
+    idxs[mask] = hot[rng.integers(0, 4, size=int(mask.sum()))]
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_harness(jnp.asarray(contribs),
+                                  jnp.asarray(idxs), n_blocks, grid))
+
+    want64 = np.zeros((ROWS, t), np.float64)
+    for g in range(grid):
+        for e in range(ne):
+            for lane in range(R):
+                j = idxs[g, e, lane]
+                if j >= 0:
+                    want64[:, j] += contribs[g, e, :, lane].astype(
+                        np.float64)
+    scale = np.abs(want64).max()
+    # f32 summation of depth-K sums: error ~ sqrt(K)·eps·|terms|; at
+    # K≈700 that is ~3e-6 of the term scale — 1e-4·scale is 30×
+    # headroom while still catching any order-dependent blowup
+    np.testing.assert_allclose(got, want64, rtol=2e-4,
+                               atol=1e-4 * scale)
