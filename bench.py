@@ -272,6 +272,23 @@ def main():
               "[fused+residual]",
               lambda: b(vs_scene, cam), n=1, rays=n_vs)
 
+    # ... and at the config-4 spec scale (round-5 item 4): 100k
+    # triangles. The interior forward exports every (sample, bounce)
+    # hit (megakernel_bigscene_quality.bigq_rows_hits), so the residual
+    # replays them instead of re-running O(N·T) detached sweeps —
+    # "fast" and "silhouette-differentiable" no longer diverge at the
+    # scale where config 4 lives. Quarter-height frame bounds the
+    # launch under the ~60 s worker-kill (rates frame-size-independent,
+    # the standard slice argument).
+    vs100 = procedural_scene(100_000, seed=0, emissive_fraction=0.01)
+    vscfg100 = vscfg.replace(height=270)
+    n_vs100 = vscfg100.width * vscfg100.height * vscfg100.spp \
+        * vscfg100.max_bounces
+    b = make_bwd(render_radiance_fastgrad, vscfg100)
+    bench.run("stress 100k fwd+bwd quality+visgrad 1920x270 spp2 "
+              "[fused+hit-replay residual]",
+              lambda: b(vs100, cam), n=1, rays=n_vs100)
+
     # --- stress scenes (BASELINE config 4: 10k-100k tris, 1080p,
     # fwd AND fwd+bwd) via the HBM-streamed fused megakernels. The
     # kernels are compute-bound (O(rays·tris) MXU work), so the rays/s
@@ -347,6 +364,92 @@ def main():
               "[spec shape, 1 slice]",
               lambda: b(stress100, cam), n=1, rays=n_spec100)
 
+    # --- 1M-triangle demonstration (round-5 item 3): the advertised
+    # BIG_MAX_TRIS cap, EXECUTED — slice frames sized for the ~60 s
+    # launch-kill bound (rates are frame-size-independent: the kernels
+    # are O(rays·tris) compute-bound, same argument as the spec
+    # slices). The quality lines' ~10.5k lights also demonstrate the
+    # round-5 scaled light selection (LIGHT_MAX 2048 -> 65536) at the
+    # scene scale the 1M cap advertises.
+    t1m = 1 << 20
+    stress1m = procedural_scene(t1m, seed=0, emissive_fraction=0.01)
+    m1cfg = cfg.replace(spp=2, height=54)
+    n_1m = 1920 * 54 * 2 * m1cfg.max_bounces
+    m1q = qcfg.replace(spp=2, height=27)
+    n_1mq = 1920 * 27 * 2 * m1q.max_bounces
+    bench.run("stress 1M fwd conformance 1920x54 spp2 [streamed]",
+              lambda: sync(fwd(stress1m, cam, m1cfg, 1)), n=2, rays=n_1m)
+    b = make_bwd(render_radiance_fastgrad, m1cfg)
+    bench.run("stress 1M fwd+bwd conformance 1920x54 spp2 [streamed]",
+              lambda: b(stress1m, cam), n=1, rays=n_1m)
+    bench.run("stress 1M fwd quality NEE+MIS 1920x27 spp2 [streamed]",
+              lambda: sync(fwd(stress1m, cam, m1q, 1)), n=2, rays=n_1mq)
+    b = make_bwd(render_radiance_fastgrad, m1q)
+    bench.run("stress 1M fwd+bwd quality NEE+MIS 1920x27 spp2 "
+              "[streamed]",
+              lambda: b(stress1m, cam), n=1, rays=n_1mq)
+
+    # --- light-set scaling (round-5 item 2): same 100k scene with 10×
+    # the lights — the chunked VMEM selection should show ≈no rate
+    # delta vs the ~1k-light line above (selection is O(L/512) MXU
+    # passes, a few % of the O(rays·tris) sweep).
+    stress100_10k = procedural_scene(100_000, seed=0,
+                                     emissive_fraction=0.1)
+    q100 = sqcfg.replace(height=540)
+    n_q100 = 1920 * 540 * 2 * q100.max_bounces
+    bench.run("stress 100k fwd quality NEE+MIS 1920x540 spp2 "
+              "[streamed, 10k lights]",
+              lambda: sync(fwd(stress100_10k, cam, q100, 1)), n=2,
+              rays=n_q100)
+
+    # --- ring mode (round-5 item 5): permanent regression guards on
+    # the round-4 whole-frame-jit win (a 9.8-27× artifact that bench.py
+    # previously could not see). mesh(1) on the single chip — the same
+    # jitted ring program, no ppermute — matching the PERFORMANCE.md
+    # "Ring × MXU" methodology.
+    from spath_tpu.parallel.mesh import make_mesh
+    from spath_tpu.parallel.ring import (
+        render_pt_ring,
+        render_radiance_ring,
+    )
+
+    ring_mesh = make_mesh(1, axis="shard")
+    rcfg = RenderConfig(width=640, height=360, spp=4, max_bounces=5,
+                        rng="hash", sampler="cosine", nee=True, mis=True,
+                        intersect="pallas")
+    rccfg = rcfg.replace(nee=False, mis=False, rng="lcg",
+                         sampler="angle")
+    n_ring = 640 * 360 * 4 * 5
+    for t_ring in (4096, 65536):
+        rs = procedural_scene(t_ring, seed=0, emissive_fraction=0.01)
+        label = f"{t_ring // 1024}k"
+        bench.run(f"ring {label} fwd conformance 640x360 spp4 [mesh1]",
+                  lambda s=rs: sync(render_pt_ring(
+                      s, cam, rccfg, ring_mesh, 0)), n=2, rays=n_ring)
+        bench.run(f"ring {label} fwd quality NEE+MIS 640x360 spp4 "
+                  "[mesh1]",
+                  lambda s=rs: sync(render_pt_ring(
+                      s, cam, rcfg, ring_mesh, 0)), n=2, rays=n_ring)
+
+    # ring TRAINING (round-5 item 1): fwd+bwd through the ring-sharded
+    # custom-VJP primitives on chip.
+    rs4k = procedural_scene(4096, seed=0, emissive_fraction=0.01)
+    b = make_bwd(
+        lambda s, cm, c_, sd: render_radiance_ring(s, cm, c_, ring_mesh,
+                                                   sd), rcfg)
+    bench.run("ring 4k fwd+bwd quality NEE+MIS 640x360 spp4 [mesh1]",
+              lambda: b(rs4k, cam), n=1, rays=n_ring)
+
+    # --- artifact self-containment (round-5 item 8): the full sections
+    # blob to a file the driver keeps, plus a final COMPACT name→rate
+    # line printed LAST so a tail-truncated BENCH_r05.json still
+    # carries every headline.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SECTIONS.json"), "w") as f:
+            json.dump(bench.lines, f, indent=1)
+    except OSError as e:
+        _log(f"could not write BENCH_SECTIONS.json: {e}")
     _log("sections: " + json.dumps(bench.lines))
 
     print(json.dumps({
@@ -356,6 +459,8 @@ def main():
         "vs_baseline": round(fwd_rays / baseline, 2)
         if (fwd_rays and baseline) else None,
     }))
+    _log("rates: " + json.dumps(
+        {k: v["rate"] for k, v in bench.lines.items()}))
 
 
 if __name__ == "__main__":

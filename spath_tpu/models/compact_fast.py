@@ -79,20 +79,35 @@ class CompactPlan(NamedTuple):
 #: magnitude below this, so margin-dead certifies kernel-dead.
 _MARGIN = 1e-3
 
+#: OPERAND-scale slack coefficient. The kernels' bf16-split/FMA
+#: reordering errors are relative to the PRE-cancellation operand
+#: magnitudes of each dot product, not its result — for scenes with
+#: large coordinates and near-edge-on triangles the result can be
+#: orders of magnitude below the operands, and a result-relative
+#: margin alone under-covers. Each bound therefore also carries
+#: ``_KAPPA × Σ|operand products|`` (one extra |rays|·|feats| matmul,
+#: paid once per plan build); measured kernel deviations are ~1e-5 of
+#: that scale, so 1e-4 keeps 10× headroom.
+_KAPPA = 1e-4
+
 
 def _any_hit_relaxed(o, d, v0, v1, v2, block: int = 512):
     """Conservative any-hit: True where ANY triangle is within a
     ``_MARGIN``-relative band of the Möller–Trumbore validity bounds.
 
     Evaluated on the HIGHEST-precision f32 Plücker quantities; each
-    bound is slackened by ``_MARGIN`` of its operands' scale (the
-    barycentric normalizer |a| plus the numerators), so a lane this
-    classifier calls DEAD fails the strict bounds under every kernel
-    formulation that agrees with f32 to well under the margin — the
-    invariant the compact launch needs (dead lanes read back zero).
-    Lanes live-under-margin but kernel-missing just render their exact
-    zero in the prefix: a few silhouette-band lanes of waste, never a
-    wrong pixel.
+    bound is slackened by ``_MARGIN`` of its RESULT scale (|a| plus the
+    numerators) PLUS ``_KAPPA`` of its OPERAND scale (an abs-value
+    matmul bounding the pre-cancellation magnitudes — the scale the
+    kernels' bf16-split/FMA-reordering errors actually live on), so a
+    lane this classifier calls DEAD fails the strict bounds under every
+    kernel formulation whose deviation is ≤ ``_KAPPA`` of operand scale
+    — the invariant the compact launch needs (dead lanes read back
+    zero). Determinants within the operand-scale error band of zero get
+    a sign-robust |·|-only test (the kernel might resolve sign(a)
+    differently there). Lanes live-under-margin but kernel-missing just
+    render their exact zero in the prefix: a few silhouette-band lanes
+    of waste, never a wrong pixel.
     """
     import numpy as np
 
@@ -118,8 +133,9 @@ def _any_hit_relaxed(o, d, v0, v1, v2, block: int = 512):
     feats = pluecker_features(v0p, v1p, v2p)       # (10, 4·Tp)
     nblk = v0p.shape[0] // block
     fb = feats.T.reshape(nblk, block * 4, 10)
+    fb_abs = jnp.abs(fb)
     mg = np.float32(_MARGIN)
-    eps_lo = np.float32(float(_EPS) * (1.0 - _MARGIN))
+    kap = np.float32(_KAPPA)
 
     def live_chunk(args):
         oc, dc = args
@@ -127,30 +143,57 @@ def _any_hit_relaxed(o, d, v0, v1, v2, block: int = 512):
         rays10 = jnp.concatenate(
             [dc, m, oc, jnp.ones((oc.shape[0], 1), jnp.float32)],
             axis=1)
+        rays10_abs = jnp.abs(rays10)
 
-        def body(any_live, fblk):
+        def body(any_live, inp):
+            fblk, fblk_abs = inp
             quads = jnp.dot(
                 rays10, fblk.T, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            ).reshape(oc.shape[0], block, 4)
+            # per-pair, per-component operand magnitude Σ|r_k·f_k| —
+            # the scale kernel rounding errors are relative to
+            scales = jnp.dot(
+                rays10_abs, fblk_abs.T,
+                preferred_element_type=jnp.float32,
                 precision=lax.Precision.HIGHEST,
             ).reshape(oc.shape[0], block, 4)
             a, u_num, v_num, d_num = (
                 quads[..., 0], quads[..., 1], quads[..., 2],
                 quads[..., 3])
+            err_a = kap * scales[..., 0]
+            err_u = kap * scales[..., 1]
+            err_v = kap * scales[..., 2]
+            err_d = kap * scales[..., 3]
             abs_a = jnp.abs(a)
             s = jnp.sign(a)
             us, vs, ds = u_num * s, v_num * s, d_num * s
             slack = mg * (abs_a + jnp.abs(us) + jnp.abs(vs))
-            ok = (
-                (abs_a >= eps_lo)
-                & (us >= -slack) & (vs >= -slack)
-                & (us + vs <= abs_a + slack)
-                & (ds > _EPS * abs_a - slack)
-                & (ds < _INV_EPS * abs_a + mg * jnp.abs(ds))
+            # sign(a) reliable: signed bounds, each slackened by the
+            # result-scale margin plus its operands' error band
+            ok_signed = (
+                (abs_a + err_a >= _EPS)
+                & (us >= -slack - err_u - err_a)
+                & (vs >= -slack - err_v - err_a)
+                & (us + vs <= abs_a + slack + err_u + err_v + err_a)
+                & (ds > _EPS * abs_a - slack - err_d - err_a)
+                & (ds < _INV_EPS * (abs_a + err_a) + mg * jnp.abs(ds)
+                   + err_d)
             )
+            # |a| within the error band of zero: the kernel may resolve
+            # sign(a) oppositely, flipping us/vs — fall back to the
+            # sign-free necessary conditions |u_num| ≤ |a|, |v_num| ≤ |a|
+            # (from u, v ∈ [0, 1]), slackened the same way
+            ok_abs = (
+                (abs_a + err_a >= _EPS)
+                & (jnp.abs(u_num) <= abs_a + slack + err_u + err_a)
+                & (jnp.abs(v_num) <= abs_a + slack + err_v + err_a)
+            )
+            ok = jnp.where(abs_a > err_a, ok_signed, ok_abs)
             return any_live | jnp.any(ok, axis=1), None
 
         live0 = jnp.zeros(oc.shape[0], bool)
-        live, _ = lax.scan(body, live0, fb)
+        live, _ = lax.scan(body, live0, (fb, fb_abs))
         return live
 
     if n <= ray_chunk:
@@ -262,9 +305,9 @@ def _run(scene, rays_p, pix_p, inv, seed, cfg: RenderConfig,
 
         keys_c = (jnp.asarray(seed).astype(jnp.uint32) * _GOLD
                   + pix_p[:, :padded])
-        gfeat, attrs, ltab, n_blocks, n_lights = \
+        gfeat, attrs, ltab, cdf_t, n_blocks, n_lights = \
             bigscene_quality_tables(scene)
-        rows = bigq_rows(gfeat, attrs, ltab, rays_c, keys_c, cfg,
+        rows = bigq_rows(gfeat, attrs, ltab, cdf_t, rays_c, keys_c, cfg,
                          n_blocks, n_lights, fast)
     elif kernel == "bigscene":
         from spath_tpu.ops.pallas.megakernel_bigscene import (
@@ -359,7 +402,7 @@ _PLAN_CACHE: dict = {}
 _PLAN_CACHE_MAX = 8
 
 
-def _value_key(scene, camera, cfg, pad_multiple):
+def _value_key(scene, camera, cfg, pad_multiple, kernel):
     import hashlib
 
     import numpy as np
@@ -369,26 +412,40 @@ def _value_key(scene, camera, cfg, pad_multiple):
               camera.pos, camera.angle):
         h.update(np.asarray(a).tobytes())
     h.update(np.float32(camera.focal).tobytes())
-    return (h.hexdigest(), scene.light_idx, cfg, pad_multiple)
+    return (h.hexdigest(), scene.light_idx, cfg, pad_multiple, kernel)
 
 
-def _cached_plan(scene, camera, cfg, pad_multiple) -> CompactPlan:
-    key = (id(scene), id(camera), cfg, pad_multiple)
+def _cache_put(key, val):
+    """Insert with the FIFO bound enforced on EVERY insertion — the
+    id-keyed insert on the value-hit path included, so a caller that
+    rebuilds an equal Scene/Camera each frame can't grow the dict
+    unboundedly (it recycles the 8 slots instead)."""
+    while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX and key not in _PLAN_CACHE:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = val
+
+
+def _cached_plan(scene, camera, cfg, pad_multiple,
+                 kernel: str | None = None) -> CompactPlan:
+    if any(isinstance(x, jax.core.Tracer)
+           for x in jax.tree_util.tree_leaves((scene, camera))):
+        raise TypeError(
+            "compact plan build requires concrete scene/camera values "
+            "(the live count crosses to the host); jitted/grad-traced "
+            "callers must pass an explicit plan=make_compact_plan(...)")
+    key = (id(scene), id(camera), cfg, pad_multiple, kernel)
     plan = _PLAN_CACHE.get(key)
     if plan is not None and plan[0] is scene and plan[1] is camera:
         return plan[2]
-    vkey = _value_key(scene, camera, cfg, pad_multiple)
+    vkey = _value_key(scene, camera, cfg, pad_multiple, kernel)
     plan = _PLAN_CACHE.get(vkey)
     if plan is None:
-        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX - 1:
-            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-            if _PLAN_CACHE:
-                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         # hold scene/camera refs so ids stay valid while cached
         plan = (scene, camera,
-                make_compact_plan(scene, camera, cfg, pad_multiple))
-        _PLAN_CACHE[vkey] = plan
-    _PLAN_CACHE[key] = plan
+                make_compact_plan(scene, camera, cfg, pad_multiple,
+                                  kernel=kernel))
+        _cache_put(vkey, plan)
+    _cache_put(key, plan)
     return plan[2]
 
 
@@ -486,6 +543,12 @@ def _run_grad(scene, camera, sel, inv, seed, cfg: RenderConfig,
     from spath_tpu.ops.pallas.megakernel import pack_rays
 
     lanes = _lane_multiple(kernel)
+    # the plan must have been built for a kernel with the same lane
+    # multiple, or sel/inv/padded misindex the permutation
+    assert padded % lanes == 0 and sel.shape[0] % lanes == 0, (
+        f"plan lane multiple inconsistent with kernel {kernel!r} "
+        f"(padded={padded}, lanes={lanes}); build the plan with "
+        f"make_compact_plan(..., kernel={kernel!r})")
     rays, pix, _ = pack_rays(camera, cfg, 0, lane_multiple=lanes)
     rays_c = _take_prefix(rays, sel, inv, padded)
     pix_c = pix[:, sel[:padded]]            # int: no gradient path
@@ -510,9 +573,9 @@ def _run_grad(scene, camera, sel, inv, seed, cfg: RenderConfig,
         from spath_tpu.ops.pallas.megakernel_quality import _GOLD
 
         keys_c = jnp.asarray(seed).astype(jnp.uint32) * _GOLD + pix_c
-        gfeat, attrs, ltab, n_blocks, n_lights = \
+        gfeat, attrs, ltab, cdf_t, n_blocks, n_lights = \
             bigscene_quality_tables(scene)
-        rows = bigq_rows(gfeat, attrs, ltab, rays_c, keys_c, cfg,
+        rows = bigq_rows(gfeat, attrs, ltab, cdf_t, rays_c, keys_c, cfg,
                          n_blocks, n_lights, fast)
     elif kernel == "bigscene":
         from spath_tpu.ops.pallas.megakernel_bigscene import (
@@ -568,12 +631,18 @@ def render_radiance_compact_grad(scene, camera, cfg: RenderConfig,
     boundary lanes). Appearance-only training (albedo/emission) never
     stales a plan.
     """
-    if plan is None:
-        plan = _cached_plan(scene, camera, cfg, pad_multiple)
     kernel = _select_kernel_grad(scene, cfg)
     if kernel is None:
         raise ValueError(
             "no custom-VJP megakernel covers this (scene, cfg)")
+    if plan is None:
+        # Build the default plan against the GRAD kernel selection so the
+        # plan's lane multiple matches the kernel this call launches —
+        # the forward selection can differ (e.g. fwd 'conformance' vs
+        # grad 'bigscene') and a lane-multiple divergence would silently
+        # misindex the permutation.
+        plan = _cached_plan(scene, camera, cfg, pad_multiple,
+                            kernel=kernel)
     if plan.n_live == 0:
         # all-miss frame: still differentiable (constant zero)
         return jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)

@@ -125,6 +125,7 @@ def trace_radiance(
     first_hit=None,
     sample_idx=None,
     vis_residual: bool = False,
+    hits_replay=None,
 ):
     """Trace ONE sample per ray. Returns ``(radiance (N,3), rng_state)``.
 
@@ -156,7 +157,22 @@ def trace_radiance(
     — the decomposition behind ``VisGradFusedRenderer``
     (models/renderer.py), which runs the interior fwd+bwd on the fused
     custom-VJP megakernels instead of the 61×-slower wavefront autodiff.
+
+    ``hits_replay``: per-bounce ``[(dist (N,), idx (N,)), ...]`` nearest
+    hits exported by the fused interior forward (round-5 item 4 —
+    ``megakernel_bigscene_quality.render_bigscene_quality_with_hits``),
+    replacing this walk's own O(N·T) detached sweeps; the walk is
+    identical because the hash/threefry draws are counter-based (the
+    kernel and this walk draw the same uniforms for the same (pixel,
+    sample, bounce)), so the kernel's walk IS this walk. Only legal in
+    ``vis_residual`` mode (the consumed hits are detached; the fused
+    sweep's K-packed distances differ from the XLA sweep's by
+    reassociation ulps — the residual's forward is exactly zero either
+    way, only the gradient evaluation point shifts by those ulps, the
+    ``_tri_dist`` argument).
     """
+    if hits_replay is not None and not vis_residual:
+        raise ValueError("hits_replay is a vis_residual-only replay")
     if cfg.nee and cfg.rng in ("lcg", "table"):
         raise ValueError("cfg.nee requires rng='threefry' or 'hash'")
     if (cfg.rr_start or cfg.stratify) and cfg.rng in ("lcg", "table"):
@@ -200,7 +216,10 @@ def trace_radiance(
     prev_n = None          # hemisphere axis d was sampled about
 
     for bounce in range(cfg.max_bounces):
-        if bounce == 0 and first_hit is not None:
+        if hits_replay is not None:
+            dist, idx = hits_replay[bounce]
+            dist = sg(dist)
+        elif bounce == 0 and first_hit is not None:
             dist, idx = first_hit
         else:
             dist, idx = nearest_hit(o, d, v0w, v1w, v2w, src, cfg)
@@ -371,6 +390,7 @@ def trace_mean_radiance(
     pixel_ids: jax.Array | None = None,
     first_hit=None,
     vis_residual: bool = False,
+    hits_replay=None,
 ) -> jax.Array:
     """Average ``cfg.spp`` radiance samples per ray → ``(N, 3)``.
 
@@ -381,10 +401,17 @@ def trace_mean_radiance(
     The camera rays' nearest hit is deterministic and shared by every
     sample, so it is computed once here and fed to each sample's trace
     (``first_hit``) — unless the caller already supplies it.
+
+    ``hits_replay``: ``(dist (spp, B, N), idx (spp, B, N))`` hit export
+    from the fused interior forward (vis_residual only) — every sweep
+    this function would run, replayed for free (``trace_radiance``
+    docstring).
     """
     n = origins.shape[0]
     if pixel_ids is None:
         pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    if hits_replay is not None:
+        first_hit = ()            # sentinel: never used, never computed
     if first_hit is None:
         src = jnp.full(n, -1, jnp.int32)
         first_hit = nearest_hit(
@@ -402,26 +429,32 @@ def trace_mean_radiance(
 
     def sample_step(carry, s):
         state, accum = carry
+        if hits_replay is not None:
+            dh, ih = hits_replay
+            hr = [(dh[s, b], ih[s, b]) for b in range(cfg.max_bounces)]
+            fh = None
+        else:
+            hr, fh = None, first_hit
         if cfg.rng == "threefry":
             state_s = jax.random.fold_in(state, s)
             rad, _ = trace_radiance(
                 scene, origins, directions, cfg, state_s, pixel_ids,
-                first_hit=first_hit,
+                first_hit=fh,
                 sample_idx=s if cfg.stratify else None,
-                vis_residual=vis_residual,
+                vis_residual=vis_residual, hits_replay=hr,
             )
             new_state = state
         elif cfg.rng in ("hash", "table"):
             rad, _ = trace_radiance(
                 scene, origins, directions, cfg, state, pixel_ids,
-                first_hit=first_hit, sample_idx=s,
-                vis_residual=vis_residual,
+                first_hit=fh, sample_idx=s,
+                vis_residual=vis_residual, hits_replay=hr,
             )
             new_state = state
         else:
             rad, new_state = trace_radiance(
                 scene, origins, directions, cfg, state, pixel_ids,
-                first_hit=first_hit, vis_residual=vis_residual,
+                first_hit=fh, vis_residual=vis_residual, hits_replay=hr,
             )
         return (new_state, accum + rad), None
 
@@ -458,7 +491,7 @@ def render_radiance(
 
 
 def render_vis_residual(
-    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed=0, hits=None
 ) -> jax.Array:
     """The visibility-gradient residual image → ``(H, W, 3)``.
 
@@ -484,10 +517,17 @@ def render_vis_residual(
     global pixel ids passed per chunk, so every draw is identical to
     the unsliced call. ``None`` picks a default that engages above
     ``_VIS_CHUNK`` pixels; pass ``0`` to force unsliced.
+
+    ``hits``: ``(dist (spp, B, N), idx (spp, B, N))`` export from the
+    fused interior forward (round-5 item 4) — the residual then skips
+    every one of its own O(N·T) nearest-hit re-sweeps and only the
+    NEE shadow-boundary edge sweeps (rays the interior never traces)
+    remain.
     """
     if not cfg.vis_grad:
         raise ValueError("render_vis_residual needs cfg.vis_grad")
-    return _render_vis_residual_impl(scene, camera, cfg, seed)
+    return _render_vis_residual_impl(scene, camera, cfg, seed,
+                                     hits=hits)
 
 
 #: residual slice size (pixels): one chunk's vis tape at spp<=8 fits a
@@ -495,14 +535,15 @@ def render_vis_residual(
 _VIS_CHUNK = 262144
 
 
-def _render_vis_residual_impl(scene, camera, cfg, seed, chunk=None):
+def _render_vis_residual_impl(scene, camera, cfg, seed, chunk=None,
+                              hits=None):
     origins, directions = generate_rays(camera, cfg.width, cfg.height)
     n = origins.shape[0]
     if chunk is None:
         chunk = _VIS_CHUNK
     if not chunk or n <= chunk:
         mean = trace_mean_radiance(scene, origins, directions, cfg, seed,
-                                   vis_residual=True)
+                                   vis_residual=True, hits_replay=hits)
         return mean.reshape(cfg.height, cfg.width, 3)
     pad = (-n) % chunk
     pid = jnp.arange(n + pad, dtype=jnp.uint32)
@@ -513,12 +554,39 @@ def _render_vis_residual_impl(scene, camera, cfg, seed, chunk=None):
 
     @jax.checkpoint
     def one(args):
-        oc, dc, pc = args
+        oc, dc, pc, hc = args
         return trace_mean_radiance(scene, oc, dc, cfg, seed,
-                                   pixel_ids=pc, vis_residual=True)
+                                   pixel_ids=pc, vis_residual=True,
+                                   hits_replay=hc)
 
-    mean = lax.map(one, (o.reshape(k, chunk, 3), d.reshape(k, chunk, 3),
-                         pid.reshape(k, chunk)))
+    if hits is not None:
+        # chunk the (spp, B, N) export along N alongside the rays;
+        # padding lanes replay (0, -1): guaranteed-miss, zero chains
+        dh, ih = hits
+        spp, nb = dh.shape[0], dh.shape[1]
+        dhp = jnp.concatenate(
+            [dh, jnp.zeros((spp, nb, pad), jnp.float32)], axis=2)
+        ihp = jnp.concatenate(
+            [ih, jnp.full((spp, nb, pad), -1, jnp.int32)], axis=2)
+        hxs = (dhp.reshape(spp, nb, k, chunk).transpose(2, 0, 1, 3),
+               ihp.reshape(spp, nb, k, chunk).transpose(2, 0, 1, 3))
+    else:
+        hxs = None
+
+    if hxs is None:
+        @jax.checkpoint
+        def one_nohits(args):
+            oc, dc, pc = args
+            return trace_mean_radiance(scene, oc, dc, cfg, seed,
+                                       pixel_ids=pc, vis_residual=True)
+
+        mean = lax.map(one_nohits,
+                       (o.reshape(k, chunk, 3), d.reshape(k, chunk, 3),
+                        pid.reshape(k, chunk)))
+    else:
+        mean = lax.map(one, (o.reshape(k, chunk, 3),
+                             d.reshape(k, chunk, 3),
+                             pid.reshape(k, chunk), hxs))
     return mean.reshape(-1, 3)[:n].reshape(cfg.height, cfg.width, 3)
 
 
@@ -584,6 +652,18 @@ def _trace_compact_jit(scene, origins, directions, dist0, idx0, seed, cfg,
     )
 
 
+def _tracing(*pytrees) -> bool:
+    """True when ANY leaf of the given pytrees is a jax tracer.
+
+    Routing must check every leaf: differentiating only albedo/emission
+    (the appearance-only training loop of the compact-plan contract)
+    leaves ``scene.vertices`` concrete while other leaves are traced, so
+    a vertices-only test would route a traced call onto a backend whose
+    plan build syncs a host scalar (TracerArrayConversionError)."""
+    return any(isinstance(x, jax.core.Tracer)
+               for x in jax.tree_util.tree_leaves(pytrees))
+
+
 def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0,
                    mesh=None):
     """Fastest forward-only render (serving path).
@@ -608,8 +688,8 @@ def render_pt_fast(scene: Scene, camera: Camera, cfg: RenderConfig, seed=0,
     # (when this call is NOT being traced — it syncs one host scalar),
     # fused megakernels (conformance, then quality, then HBM-streamed),
     # else the compacted wavefront (models/renderer.py).
-    tracing = isinstance(scene.vertices, jax.core.Tracer)
-    r = forward_renderer(scene, cfg, require_jittable=tracing)
+    r = forward_renderer(scene, cfg,
+                         require_jittable=_tracing(scene, camera))
     return r.render(scene, camera, cfg, seed)
 
 
@@ -644,10 +724,9 @@ def render_radiance_fastgrad(
     # hand-written VJPs (conformance, quality, then the streamed
     # large-scene kernel), else the autodiff wavefront
     # (models/renderer.py).
-    tracing = (isinstance(scene.vertices, jax.core.Tracer)
-               or isinstance(camera.pos, jax.core.Tracer))
-    return grad_renderer(scene, cfg,
-                         require_jittable=tracing).render_radiance_grad(
+    return grad_renderer(
+        scene, cfg,
+        require_jittable=_tracing(scene, camera)).render_radiance_grad(
         scene, camera, cfg, seed)
 
 

@@ -149,14 +149,28 @@ class VisGradFusedRenderer(Renderer):
         return interior.name not in ("wavefront", "compact")
 
     def render_radiance_grad(self, scene, camera, cfg, seed=0):
-        from spath_tpu.models.pathtracer import render_vis_residual
+        from spath_tpu.models.pathtracer import _tracing, render_vis_residual
 
         icfg = cfg.replace(vis_grad=False)
-        tracing = (isinstance(scene.vertices, jax.core.Tracer)
-                   or isinstance(camera.pos, jax.core.Tracer))
-        interior = grad_renderer(
-            scene, icfg, require_jittable=tracing).render_radiance_grad(
-            scene, camera, icfg, seed)
+        tracing = _tracing(scene, camera)
+        r = grad_renderer(scene, icfg, require_jittable=tracing)
+        if r.name == "quality_bigscene" and cfg.spp <= 8:
+            # hit-replay route (round-5 item 4): the interior forward
+            # exports every (sample, bounce) nearest hit, and the
+            # residual consumes them instead of re-running its own
+            # O(N·T) detached sweeps — at 100k tris those re-sweeps
+            # alone cost a whole streamed forward. spp ≤ 8 because the
+            # export kernel unrolls the sample loop.
+            from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+                render_bigscene_quality_with_hits,
+            )
+
+            interior, hits = render_bigscene_quality_with_hits(
+                scene, camera, icfg, seed,
+                fast=(icfg.intersect == "pallas_fast"))
+            return interior + render_vis_residual(scene, camera, cfg,
+                                                  seed, hits=hits)
+        interior = r.render_radiance_grad(scene, camera, icfg, seed)
         return interior + render_vis_residual(scene, camera, cfg, seed)
 
 

@@ -191,3 +191,81 @@ def test_registry_routes_visgrad(monkeypatch):
                                      vis_grad=False),
                          require_jittable=True)
     assert r3.name == "quality"
+
+
+def test_hit_replay_composition_above_32k():
+    """Round-5 item 4: the hit-replay decomposition at T > 32k — the
+    interior forward EXPORTS every (sample, bounce) nearest hit
+    (``bigq_rows_hits``) and the residual replays them instead of
+    re-running its O(N·T) detached sweeps. Gradients must still equal
+    the wavefront's vis_grad (flip-budget tolerance as in the other
+    composition tests: the replayed hits come from the K-packed MXU
+    sweep, whose reassociation-ulp distances shift only the gradient
+    evaluation point — the residual's forward stays exactly zero)."""
+    from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+        render_bigscene_quality_with_hits,
+        supported_grad,
+    )
+    from spath_tpu.scene import procedural_scene
+
+    blocker = _blocker_scene()
+    proc = procedural_scene(33_000 - 5, seed=3, emissive_fraction=0.002)
+    scene = make_scene(
+        jnp.concatenate([blocker.vertices, proc.vertices]),
+        jnp.concatenate([blocker.albedo, proc.albedo]),
+        jnp.concatenate([blocker.emission, proc.emission]),
+    )
+    assert scene.n_tris > 32768
+    cfg = _cfg(nee=True, mis=True, spp=1, max_bounces=2,
+               intersect="pallas", width=12, height=8)
+    assert supported_grad(scene, cfg.replace(vis_grad=False))
+
+    def fused_total(s, cam, c, seed):
+        interior, hits = render_bigscene_quality_with_hits(
+            s, cam, c.replace(vis_grad=False), seed)
+        return interior + render_vis_residual(s, cam, c, seed,
+                                              hits=hits)
+
+    with pltpu.force_tpu_interpret_mode():
+        gv_t, ga_t = _grads(render_radiance, scene, cfg)
+        gv_f, ga_f = _grads(fused_total, scene, cfg)
+    sv = np.abs(gv_t).max()
+    sa = max(np.abs(ga_t).max(), 1e-8)
+    assert sv > 0.0
+    np.testing.assert_allclose(gv_f, gv_t, atol=5e-2 * sv)
+    np.testing.assert_allclose(ga_f, ga_t, atol=5e-2 * sa)
+
+
+def test_hit_replay_residual_forward_zero_and_grads_match():
+    """Hit replay == self-computed sweeps at small T: the residual's
+    forward is exactly zero and its grads match the no-replay residual
+    to the ulp-shift budget (the replayed distances are the K-packed
+    sweep's)."""
+    from spath_tpu.ops.pallas.megakernel_bigscene_quality import (
+        render_bigscene_quality_with_hits,
+    )
+
+    scene = _blocker_scene()
+    cfg = _cfg(nee=True, mis=True, spp=2, max_bounces=2,
+               intersect="pallas")
+    cam = Camera.default()
+    icfg = cfg.replace(vis_grad=False)
+
+    with pltpu.force_tpu_interpret_mode():
+        # seed 1 everywhere: the replayed hits must come from the same
+        # streams as the residual walk (_grads renders with seed=1)
+        _, hits = render_bigscene_quality_with_hits(scene, cam, icfg, 1)
+        img = render_vis_residual(scene, cam, cfg, 1, hits=hits)
+        assert float(jnp.abs(img).max()) == 0.0
+
+        def res_replay(s, cam_, c, seed):
+            return render_vis_residual(s, cam_, c, seed, hits=hits)
+
+        gv_r, ga_r = _grads(res_replay, scene, cfg)
+        gv_n, ga_n = _grads(render_vis_residual, scene, cfg)
+    sv = max(np.abs(gv_n).max(), 1e-8)
+    assert np.abs(gv_n).max() > 0.0
+    np.testing.assert_allclose(gv_r, gv_n, atol=5e-2 * sv)
+    # residual albedo grads are exactly zero by design (hit_albedo
+    # detached inside both vis terms)
+    np.testing.assert_allclose(ga_r, ga_n, atol=1e-6)
