@@ -431,6 +431,24 @@ def main():
                   lambda s=rs: sync(render_pt_ring(
                       s, cam, rcfg, ring_mesh, 0)), n=2, rays=n_ring)
 
+    # ... and the MATCHED replicated comparison (round-5 item 6): the
+    # same 64k scene and frame through the replicated HBM-streamed
+    # megakernels — the head-to-head that shows the ring/replicated gap
+    # closed at matched estimator and T (PERFORMANCE.md "Ring vs
+    # replicated: the gap is CLOSED"; ring ≈ 101% quality / 113%
+    # conformance of these lines on v5e).
+    rs64 = procedural_scene(65536, seed=0, emissive_fraction=0.01)
+    r64cfg = RenderConfig(width=640, height=360, spp=4, max_bounces=5,
+                          rng="hash", sampler="cosine", nee=True,
+                          mis=True, intersect="pluecker")
+    bench.run("replicated 64k fwd quality NEE+MIS 640x360 spp4 "
+              "[streamed]",
+              lambda: sync(fwd(rs64, cam, r64cfg, 1)), n=2, rays=n_ring)
+    bench.run("replicated 64k fwd conformance 640x360 spp4 [streamed]",
+              lambda: sync(fwd(rs64, cam, r64cfg.replace(
+                  nee=False, mis=False, rng="lcg", sampler="angle"), 1)),
+              n=2, rays=n_ring)
+
     # ring TRAINING (round-5 item 1): fwd+bwd through the ring-sharded
     # custom-VJP primitives on chip.
     rs4k = procedural_scene(4096, seed=0, emissive_fraction=0.01)

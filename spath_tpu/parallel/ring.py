@@ -149,6 +149,13 @@ def nearest_hit_ring(
         # (me - step) mod n_shards.
         owner = (me - step) % n_shards
         base = (owner * shard_size).astype(jnp.int32)
+        # Double-buffered rotation: issue the ppermute BEFORE the sweep
+        # consumes the resident shard, so XLA's async collective-permute
+        # (start/done pair) rides the ICI under the sweep compute
+        # instead of serializing after it. Both only READ ``blk``; the
+        # permuted copy is not consumed until the next step.
+        nxt = (tuple(lax.ppermute(b, axis_name, perm) for b in blk)
+               if step + 1 < n_shards else None)
         # Local-index intersection, then lift to global indices. The
         # source triangle is excluded by its global index: shift src
         # into this block's local frame.
@@ -163,8 +170,8 @@ def nearest_hit_ring(
         )
         i_blk = jnp.where(i_blk >= 0, i_blk + base, i_blk)
         best_d, best_i = _combine(best_d, best_i, d_blk, i_blk)
-        if step + 1 < n_shards:
-            blk = tuple(lax.ppermute(b, axis_name, perm) for b in blk)
+        if nxt is not None:
+            blk = nxt
 
     return best_d, best_i
 
@@ -304,9 +311,13 @@ def _ring_rows_impl(o, d, tri_table, src_idx, cfg, axis_name):
     for step in range(n_shards):
         owner = (me - step) % n_shards
         base = (owner * shard_size).astype(jnp.int32)
+        # issue the rotation before the sweep consumes blk (see
+        # nearest_hit_ring: overlap-friendly double buffering)
+        nxt = (lax.ppermute(blk, axis_name, perm)
+               if step + 1 < n_shards else None)
         carry = _sweep_step(blk, owner, base, o, d, src_idx, cfg, carry)
-        if step + 1 < n_shards:
-            blk = lax.ppermute(blk, axis_name, perm)
+        if nxt is not None:
+            blk = nxt
 
     best_d, best_i, best_rows, row0 = carry
     best_rows = jnp.where((best_i < 0)[:, None], row0[None, :], best_rows)
@@ -389,10 +400,12 @@ def _ring_select_impl(tri_table, u_sel, n_tris: int, axis_name: str,
     for step in range(n_shards):
         owner = (me - step) % n_shards
         base = (owner * size).astype(jnp.int32)
+        nxt = (lax.ppermute(blk, axis_name, perm)
+               if step + 1 < n_shards else None)
         carry = _select_step(blk, owner, base, u_sel, n_tris, prob_col,
                              cdf_col, last_owner, last_local, carry)
-        if step + 1 < n_shards:
-            blk = lax.ppermute(blk, axis_name, perm)
+        if nxt is not None:
+            blk = nxt
 
     found, g, rows, fb_row = carry
     li = jnp.where(found, g, jnp.int32(n_tris - 1))
@@ -502,13 +515,15 @@ def _ring_sweepsel_impl(o, d, tri_table, src_idx, u_sel, n_tris, cfg,
     for step in range(n_shards):
         owner = (me - step) % n_shards
         base = (owner * size).astype(jnp.int32)
+        nxt = (lax.ppermute(blk, axis_name, perm)
+               if step + 1 < n_shards else None)
         sweep_carry = _sweep_step(blk, owner, base, o, d, src_idx, cfg,
                                   sweep_carry)
         sel_carry = _select_step(blk, owner, base, u_sel, n_tris,
                                  prob_col, cdf_col, last_owner,
                                  last_local, sel_carry)
-        if step + 1 < n_shards:
-            blk = lax.ppermute(blk, axis_name, perm)
+        if nxt is not None:
+            blk = nxt
 
     best_d, best_i, best_rows, row0 = sweep_carry
     found, g, sel_rows, fb_row = sel_carry
@@ -568,12 +583,14 @@ def _ring_gather_impl(table_shard, global_idx, axis_name):
     for step in range(n_shards):
         owner = (me - step) % n_shards
         base = (owner * size).astype(jnp.int32)
+        nxt = (lax.ppermute(blk, axis_name, perm)
+               if step + 1 < n_shards else None)
         local = jnp.clip(global_idx - base, 0, size - 1)
         rows = blk[local]
         mine = (global_idx >= base) & (global_idx < base + size)
         out = jnp.where(mine[:, None], rows, out)
-        if step + 1 < n_shards:
-            blk = lax.ppermute(blk, axis_name, perm)
+        if nxt is not None:
+            blk = nxt
     return out
 
 
@@ -592,10 +609,12 @@ def ring_light_select(cdf_shard, u_sel, n_tris: int, axis_name: str):
     cnt = jnp.zeros(u_sel.shape, jnp.int32)
     blk = cdf_shard
     for step in range(n_shards):
+        nxt = (lax.ppermute(blk, axis_name, perm)
+               if step + 1 < n_shards else None)
         cnt = cnt + jnp.searchsorted(
             blk, u_sel, side="right").astype(jnp.int32)
-        if step + 1 < n_shards:
-            blk = lax.ppermute(blk, axis_name, perm)
+        if nxt is not None:
+            blk = nxt
     return lax.stop_gradient(jnp.clip(cnt, 0, n_tris - 1))
 
 
@@ -693,13 +712,18 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
     else:
         state0 = jax.random.key(seed)
 
-    def one_sample(state, s):
-        oo, dd = o, d
-        throughput = jnp.ones((n, 3), jnp.float32)
-        radiance = jnp.zeros((n, 3), jnp.float32)
-        alive = jnp.ones(n, bool)
-        src = jnp.full(n, -1, jnp.int32)
-        prev_pdf = jnp.zeros(n, jnp.float32)
+    def one_sample(state, s, o0=None, d0=None, pids=None, nl=None):
+        # ``s`` may be a VECTOR of per-lane sample indices (the
+        # spp-batched path below); all draws are broadcast-compatible.
+        oo = o if o0 is None else o0
+        dd = d if d0 is None else d0
+        pids = pixel_ids if pids is None else pids
+        nl = oo.shape[0] if nl is None else nl
+        throughput = jnp.ones((nl, 3), jnp.float32)
+        radiance = jnp.zeros((nl, 3), jnp.float32)
+        alive = jnp.ones(nl, bool)
+        src = jnp.full(nl, -1, jnp.int32)
+        prev_pdf = jnp.zeros(nl, jnp.float32)
         if cfg.rng == "threefry":
             rng_state = jax.random.fold_in(state, s)
             sample_idx = s if cfg.stratify else None
@@ -721,9 +745,44 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
         # for the counter-based RNGs (lcg draws lazily; table draws 2).
         fuse_select = (cfg.nee and not _unfused and not _pairwise
                        and cfg.rng in ("threefry", "hash"))
+        # Merged shadow sweep (round 5): bounce b's shadow-occlusion
+        # ray rides bounce b+1's fused sweep+select call — the two
+        # sweeps share ONE table rotation (concatenated ray lanes), so
+        # an NEE bounce costs ~1 ring cycle instead of 2 (B+1 table
+        # rotations per sample instead of 2B — the unmerged bounce
+        # rotates 17 + 9 = 26 columns, merged rotates 17). Legal
+        # because after bounce b's shading BOTH the shadow ray and the
+        # next primary ray are known; bounce b's direct-light term is
+        # carried PENDING (its throughput-weighted value is a pure
+        # per-lane product, unchanged by deferral) and accumulated as
+        # soon as its occlusion index returns — before bounce b+1's
+        # own radiance terms, so the per-lane accumulation order is
+        # bit-identical to the unmerged path.
+        #
+        # DEFAULT: on only when the ring is real (n_shards > 1, where
+        # rotations ride ICI). On ONE device the merge is a measured
+        # LOSS (v5e, 640×360 spp4 NEE+MIS: 5.42→3.82×10⁶ rays/s at 4k,
+        # 7.57→7.03×10⁵ at 65k — the shadow lanes pay the heavy
+        # primitive's per-lane row-gather + selection instead of the
+        # lean 9-column index sweep), so mesh(1) serving keeps the
+        # 2-cycle path. SPATH_RING_MERGE=1/0 forces either way.
+        _mf = _os.environ.get("SPATH_RING_MERGE", "")
+        merge_shadow = fuse_select and (
+            _mf == "1" if _mf in ("0", "1")
+            else lax.axis_size(axis_name) > 1)
         if cfg.nee:
             assert cfg.rng not in ("lcg", "table"), \
                 "NEE ring tracing needs a counter-based RNG"
+        # pending = (shadow_o, shadow_d, shadow_src, gate, li, direct)
+        # — bounce b-1's unresolved shadow ray and its direct-light
+        # contribution, accumulated once the merged sweep returns occ.
+        pending = None
+
+        def _resolve_pending(pending, occ, radiance):
+            _, _, _, p_gate, p_li, p_direct = pending
+            ok = p_gate & (occ == p_li)
+            return radiance + jnp.where(ok[:, None], p_direct, 0.0)
+
         for bounce in range(cfg.max_bounces):
             # Fused sweep + attribute carry: one ring cycle instead of
             # sweep-then-gather (two). Bit-identical (see
@@ -732,11 +791,28 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
             li = lrows = None
             if fuse_select:
                 rng_state, us = _bounce_uniforms(
-                    cfg, rng_state, jnp.zeros(n, bool), bounce,
-                    pixel_ids, n, sample_idx)
-                dist, idx, rows, li, lrows = nearest_and_select_ring(
-                    oo, dd, tri_table, src, us[2], n_tris, cfg,
-                    axis_name)
+                    cfg, rng_state, jnp.zeros(nl, bool), bounce,
+                    pids, nl, sample_idx)
+                if pending is not None:
+                    p_o, p_d, p_src = pending[0], pending[1], pending[2]
+                    o2 = jnp.concatenate([oo, p_o], axis=0)
+                    d2 = jnp.concatenate([dd, p_d], axis=0)
+                    s2 = jnp.concatenate([src, p_src], axis=0)
+                    u2 = jnp.concatenate(
+                        [us[2], jnp.zeros(nl, jnp.float32)], axis=0)
+                    dist2, idx2, rows2, li2, lrows2 = \
+                        nearest_and_select_ring(
+                            o2, d2, tri_table, s2, u2, n_tris, cfg,
+                            axis_name)
+                    dist, idx, rows = dist2[:nl], idx2[:nl], rows2[:nl]
+                    li, lrows = li2[:nl], lrows2[:nl]
+                    radiance = _resolve_pending(
+                        pending, idx2[nl:], radiance)
+                    pending = None
+                else:
+                    dist, idx, rows, li, lrows = nearest_and_select_ring(
+                        oo, dd, tri_table, src, us[2], n_tris, cfg,
+                        axis_name)
             elif _unfused:
                 dist, idx = nearest_hit_ring(
                     oo, dd, v0s, v1s, v2s, src, cfg, axis_name)
@@ -760,13 +836,15 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
 
             if not fuse_select:
                 rng_state, us = _bounce_uniforms(
-                    cfg, rng_state, hit, bounce, pixel_ids, n,
+                    cfg, rng_state, hit, bounce, pids, nl,
                     sample_idx
                 )
             u_az = us[0]
             if cfg.stratify and bounce == 0 and sample_idx is not None:
-                u_az = (jnp.float32(sample_idx) + u_az) * jnp.float32(
-                    1.0 / cfg.spp)
+                # asarray: sample_idx may be a per-lane VECTOR on the
+                # spp-batched path; same float32 value as the scalar form
+                u_az = (jnp.asarray(sample_idx, jnp.float32) + u_az) \
+                    * jnp.float32(1.0 / cfg.spp)
             nd, w = hemisphere_sample(cfg.sampler, adj_n, u_az, us[1])
             nd = lax.stop_gradient(nd)
             if cfg.sampler in ("angle", "uniform"):
@@ -831,13 +909,11 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
                 # never unrolls residuals through the S rotated shards
                 # — same gradients, O(T/S) memory.
                 _sg = lax.stop_gradient
-                _, occ = nearest_hit_ring(
-                    _sg(point), _sg(omega), _sg(v0s), _sg(v1s),
-                    _sg(v2s), safe, cfg, axis_name)
-                valid = (
-                    (occ == li) & (lprob > 0) & (cos_s > 0) & (li != safe)
-                )
-                valid = lax.stop_gradient(valid)
+                # occlusion-independent gate + contribution (per-lane
+                # products — identical whether resolved now or deferred
+                # into the next bounce's merged sweep)
+                gate = lax.stop_gradient(
+                    (lprob > 0) & (cos_s > 0) & (li != safe)) & hit
                 g = cos_s * cos_l / jnp.maximum(r2, 1e-12)
                 weight = larea / jnp.maximum(lprob, 1e-20)
                 direct = alb * INV_PI * lemi * (g * weight)[:, None]
@@ -849,9 +925,21 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
                     mw = p_nee * p_nee / jnp.maximum(
                         p_nee * p_nee + p_b * p_b, 1e-30)
                     direct = direct * lax.stop_gradient(mw)[:, None]
-                direct = jnp.where(valid[:, None], direct, 0.0)
-                radiance = radiance + jnp.where(
-                    hit3, throughput * direct, 0.0)
+                contrib = throughput * direct
+                if merge_shadow and bounce + 1 < cfg.max_bounces:
+                    # defer: the shadow ray rides the next bounce's
+                    # merged sweep; contribution lands the moment its
+                    # occlusion index returns (before bounce b+1's own
+                    # radiance terms — accumulation order preserved)
+                    pending = (_sg(point), _sg(omega), safe, gate, li,
+                               contrib)
+                else:
+                    _, occ = nearest_hit_ring(
+                        _sg(point), _sg(omega), _sg(v0s), _sg(v1s),
+                        _sg(v2s), safe, cfg, axis_name)
+                    ok = gate & (occ == li)
+                    radiance = radiance + jnp.where(
+                        ok[:, None], contrib, 0.0)
             else:
                 radiance = radiance + jnp.where(
                     hit3, throughput * emi, 0.0)
@@ -884,6 +972,42 @@ def _trace_ring(tri_table, o, d, pixel_ids, cfg, seed, axis_name,
         state, acc = carry
         rad, state = one_sample(state, s)
         return (state, acc + rad), None
+
+    # spp-BATCHED lanes (round 5): with a counter-based stateless RNG
+    # ("hash" — draws are pure functions of (pixel, sample, bounce)),
+    # the per-sample traces are independent, so all spp samples run as
+    # ONE trace over spp·N lanes: ONE table rotation per bounce serves
+    # every sample — spp× fewer ring cycles (with the merged shadow
+    # sweep, a frame costs B+1 rotations instead of 2·B·spp: 8× less
+    # ICI traffic at spp 4). Bit-exact vs the sample loop: identical
+    # per-lane draws (vector sample counter) and the same sequential
+    # accumulation order (sample blocks summed in order, matching the
+    # scan).
+    #
+    # DEFAULT: on only when the ring is real (n_shards > 1); on ONE
+    # device batching is a small measured loss (v5e: −2% at 4k tris,
+    # −7% at 65k — per-lane XLA work dominates per-launch overhead,
+    # so fewer-but-bigger launches buy nothing and cost layout
+    # pressure). SPATH_RING_SPP_BATCH=1/0 forces either way.
+    import os as _os
+    _bf = _os.environ.get("SPATH_RING_SPP_BATCH", "")
+    batch = (
+        cfg.rng == "hash" and cfg.spp > 1
+        and (_bf == "1" if _bf in ("0", "1")
+             else lax.axis_size(axis_name) > 1)
+    )
+    if batch:
+        spp = cfg.spp
+        ob = jnp.tile(o, (spp, 1))
+        db = jnp.tile(d, (spp, 1))
+        pb = jnp.tile(pixel_ids, spp)
+        sv = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n)
+        rad, _ = one_sample(state0, sv, ob, db, pb, spp * n)
+        r = rad.reshape(spp, n, 3)
+        acc = r[0]
+        for s in range(1, spp):
+            acc = acc + r[s]
+        return acc * (np.float32(1.0) / np.float32(cfg.spp))
 
     init = (state0, jnp.zeros((n, 3), jnp.float32))
     if cfg.spp <= 8:

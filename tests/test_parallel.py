@@ -213,6 +213,35 @@ def test_ring_nee_matches_replicated(scene7, mis, rr):
     _assert_images_match(got, want, max_flip_frac=0.01)
 
 
+@pytest.mark.parametrize("merge,batch", [("0", "0"), ("1", "0"),
+                                         ("0", "1"), ("1", "1")])
+def test_ring_nee_mode_combos_match_replicated(scene7, monkeypatch,
+                                               merge, batch):
+    """All four ring execution modes agree with the replicated path:
+    the round-5 ICI gearings — the MERGED shadow sweep (bounce b's
+    occlusion rides bounce b+1's fused sweep+select: ~1 table rotation
+    per NEE bounce instead of 2, with the direct-light term pending
+    until its occlusion index returns) and spp-BATCHED lanes (one trace
+    over spp·N lanes: one rotation per bounce serves every sample) —
+    are bit-stable per-lane restructurings, forced on/off here via
+    SPATH_RING_MERGE / SPATH_RING_SPP_BATCH (their auto default keys on
+    n_shards > 1). The jit caches key on cfg, not env, so each combo
+    clears the frame-program cache."""
+    from spath_tpu.parallel import ring as RG
+
+    monkeypatch.setenv("SPATH_RING_MERGE", merge)
+    monkeypatch.setenv("SPATH_RING_SPP_BATCH", batch)
+    RG._render_pt_ring_jit.clear_cache()
+    cfg = RenderConfig(width=40, height=24, spp=2, rng="hash",
+                       sampler="cosine", nee=True, mis=True, rr_start=2)
+    cam = Camera.default()
+    want = np.asarray(render_pt(scene7, cam, cfg, seed=0))
+    got = np.asarray(RG.render_pt_ring(
+        scene7, cam, cfg, make_mesh(8, axis="shard"), seed=0))
+    RG._render_pt_ring_jit.clear_cache()
+    _assert_images_match(got, want, max_flip_frac=0.01)
+
+
 def test_ring_with_pallas_intersection():
     """Ring mode x MXU: the per-shard sweep through the K-packed Pallas
     kernel (``cfg.intersect='pallas'``) — long-context mode no longer
