@@ -457,6 +457,11 @@ def main():
                                                    sd), rcfg)
     bench.run("ring 4k fwd+bwd quality NEE+MIS 640x360 spp4 [mesh1]",
               lambda: b(rs4k, cam), n=1, rays=n_ring)
+    b = make_bwd(
+        lambda s, cm, c_, sd: render_radiance_ring(s, cm, c_, ring_mesh,
+                                                   sd), rcfg)
+    bench.run("ring 64k fwd+bwd quality NEE+MIS 640x360 spp4 [mesh1]",
+              lambda: b(rs, cam), n=1, rays=n_ring)
 
     # --- artifact self-containment (round-5 item 8): the full sections
     # blob to a file the driver keeps, plus a final COMPACT name→rate

@@ -114,6 +114,43 @@ def test_ring_grads_match_replicated(scene7, cfg):
     assert float(jnp.abs(gs_r.vertices).max()) > 0
 
 
+def test_ring_grads_lean_mode(scene7, monkeypatch):
+    """Gradients agree with the replicated path on the LEAN ring
+    gearing (merge=batch=0 — the mesh(1) serving default; forced here
+    because the 8-device mesh auto-selects the ICI gearing, which
+    ``test_ring_grads_match_replicated`` already covers). The merged
+    sweep's pending direct-light deferral and the batched lanes'
+    concatenated residuals must not be load-bearing for the custom-VJP
+    ring adjoints. ``ring_radiance_from_rays`` traces per call, so the
+    env flags take effect without cache clearing."""
+    from spath_tpu.models.pathtracer import trace_mean_radiance
+
+    monkeypatch.setenv("SPATH_RING_MERGE", "0")
+    monkeypatch.setenv("SPATH_RING_SPP_BATCH", "0")
+    cfg = QUAL_CFG
+    mesh = make_mesh(8, axis="shard")
+    cam = Camera.default()
+    o, d, pids = _rays(cam, cfg)
+    w = _weight(cfg).reshape(-1, 1)
+
+    def ring_loss(s):
+        rad = R.ring_radiance_from_rays(s, jnp.asarray(o), jnp.asarray(d),
+                                        pids, 0, cfg, mesh, s.n_tris)
+        return jnp.sum(rad * w)
+
+    def rep_loss(s):
+        rad = trace_mean_radiance(s, jnp.asarray(o), jnp.asarray(d), cfg,
+                                  seed=0, pixel_ids=pids)
+        return jnp.sum(rad * w)
+
+    vr, gs_r = jax.value_and_grad(ring_loss)(scene7)
+    vp, gs_p = jax.value_and_grad(rep_loss)(scene7)
+    np.testing.assert_allclose(float(vr), float(vp), rtol=1e-5)
+    _assert_tree_close(gs_r, gs_p, rtol=3e-4)
+    assert float(jnp.abs(gs_r.albedo).max()) > 0
+    assert float(jnp.abs(gs_r.vertices).max()) > 0
+
+
 def test_ring_grads_match_replicated_procedural():
     """Many-triangle scene: every device owns a real shard (96 tris / 8
     devices), adjoints cross shard boundaries."""
